@@ -1,0 +1,138 @@
+"""FPN neck + head, NHWC-native Flax implementation.
+
+Behavioral spec from the reference (/root/reference/vkit_open_model/model/
+fpn.py:21-208): per-level 1x1-LN-GELU laterals, top-down *nearest* upsample
++ add, per-level 3x3 blocks projecting to out_channels/num_levels, nearest
+upsample of every level to level-0 resolution and channel concat. Head:
+optional nearest x2/x4 pre-upsample, 3x3 (factor<=2) or 5x5 (factor<=4)
+smoothing, 1x1 projection with configurable output-bias init.
+
+NHWC removes the reference's permute sandwiches; nearest upsampling is
+`jnp.repeat` (exact torch-'nearest' parity at integer ratios) with a
+floor-index gather fallback for general shapes.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import resize_nearest
+from .convnext import gelu_exact
+
+Dtype = Any
+
+kaiming_normal_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class Conv1x1Block(nn.Module):
+    """Dense -> LN -> GELU (reference fpn.py:21-28, NHWC-native)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = kaiming_normal_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(
+            self.out_channels, kernel_init=self.kernel_init, dtype=self.dtype, name="conv"
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")(x)
+        return gelu_exact(x)
+
+
+class ConvKxKBlock(nn.Module):
+    """KxK conv -> LN -> GELU (reference fpn.py:31-48)."""
+
+    out_channels: int
+    kernel: int = 3
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = kaiming_normal_init
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=(self.kernel, self.kernel),
+            padding=self.kernel // 2,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")(x)
+        return gelu_exact(x)
+
+
+class FpnNeck(nn.Module):
+    """Multi-level FPN fusion producing (B, H0, W0, out_channels)
+    (reference fpn.py:51-146)."""
+
+    in_channels_group: Sequence[int]
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: List[jax.Array]) -> jax.Array:
+        num = len(features)
+        assert num == len(self.in_channels_group) and num > 1
+        assert self.out_channels % num == 0
+        inner = self.out_channels // num
+
+        outputs = [
+            Conv1x1Block(self.out_channels, dtype=self.dtype, name=f"step1_{i}")(features[i])
+            for i in range(num)
+        ]
+
+        # Top-down nearest upsample + add (fpn.py:121-129).
+        for i in range(num - 1, 0, -1):
+            prev = outputs[i - 1]
+            outputs[i - 1] = prev + resize_nearest(outputs[i], (prev.shape[1], prev.shape[2]))
+
+        # Per-level 3x3 projection to out/num channels (fpn.py:131-133).
+        outputs = [
+            ConvKxKBlock(inner, kernel=3, dtype=self.dtype, name=f"step2_{i}")(outputs[i])
+            for i in range(num)
+        ]
+
+        # Upsample all to level-0 resolution and concat (fpn.py:136-144).
+        shape0 = (features[0].shape[1], features[0].shape[2])
+        outputs = [outputs[0]] + [resize_nearest(o, shape0) for o in outputs[1:]]
+        return jnp.concatenate(outputs, axis=-1)
+
+
+class FpnHead(nn.Module):
+    """Prediction head (reference fpn.py:149-208)."""
+
+    out_channels: int
+    upsampling_factor: int = 1
+    init_output_bias: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_channels = x.shape[-1]
+        inner = (in_channels + self.out_channels) // 2
+
+        if self.upsampling_factor > 1:
+            x = resize_nearest(
+                x,
+                (x.shape[1] * self.upsampling_factor, x.shape[2] * self.upsampling_factor),
+            )
+
+        if 1 <= self.upsampling_factor <= 2:
+            x = ConvKxKBlock(inner, kernel=3, dtype=self.dtype, name="step1")(x)
+        elif 2 < self.upsampling_factor <= 4:
+            x = ConvKxKBlock(inner, kernel=5, dtype=self.dtype, name="step1")(x)
+        else:
+            raise NotImplementedError(self.upsampling_factor)
+
+        x = nn.Dense(
+            self.out_channels,
+            kernel_init=kaiming_normal_init,
+            bias_init=nn.initializers.constant(self.init_output_bias),
+            dtype=self.dtype,
+            name="step2",
+        )(x)
+        return x

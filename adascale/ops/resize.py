@@ -1,0 +1,169 @@
+"""Resize / pooling primitives with exact reference-framework semantics.
+
+The reference model relies on three interpolation flavors whose pixel-grid
+conventions must be reproduced bit-accurately for output parity:
+
+  * ``F.interpolate(mode='nearest')``  — asymmetric convention,
+    ``src = floor(dst * in / out)``   (used by FpnNeck/FpnHead,
+    reference fpn.py:121-129,196-204)
+  * ``F.interpolate(mode='bilinear', align_corners=False)`` — half-pixel
+    convention (used by UperNext, reference upernext.py:79,178,191,237)
+  * ``cv2.INTER_AREA`` box-average downsampling (rough-pass preprocessing,
+    reference inferencing/adaptive_scaling.py:96-107)
+  * ``nn.AdaptiveAvgPool2d`` (PPM pooling, reference upernext.py:62)
+
+All functions are NHWC, shape-static under jit, and lower to gathers/matmuls
+that XLA tiles onto the MXU/VPU. Area resampling and adaptive pooling are
+expressed as separable dense matrix products (out = W_h @ x @ W_w^T) so the
+work lands on the MXU instead of scatter/gather units.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def upsample_nearest(x: jax.Array, factor: int) -> jax.Array:
+    """Integer-factor nearest upsample of NHWC via repeat (exact parity with
+    ``F.interpolate(mode='nearest')`` for integer factors)."""
+    if factor == 1:
+        return x
+    x = jnp.repeat(x, factor, axis=1)
+    x = jnp.repeat(x, factor, axis=2)
+    return x
+
+
+def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Nearest resize of NHWC with torch's asymmetric convention.
+
+    ``out[i] = in[floor(i * in_size / out_size)]`` per axis — matches
+    ``F.interpolate(mode='nearest')`` for any size pair.
+    """
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    if oh % h == 0 and ow % w == 0 and oh // h == ow // w:
+        return upsample_nearest(x, oh // h)
+    rows = np.floor(np.arange(oh) * (h / oh)).astype(np.int32)
+    cols = np.floor(np.arange(ow) * (w / ow)).astype(np.int32)
+    x = jnp.take(x, jnp.asarray(rows), axis=1)
+    x = jnp.take(x, jnp.asarray(cols), axis=2)
+    return x
+
+
+def _linear_weights(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) dense interpolation matrix, half-pixel centers,
+    matching ``F.interpolate(mode='bilinear', align_corners=False)``."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        w[:, 0] = 1.0
+        return w
+    scale = in_size / out_size
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        src = min(max(src, 0.0), in_size - 1)
+        lo = int(math.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        frac = src - lo
+        w[i, lo] += 1.0 - frac
+        w[i, hi] += frac
+    return w
+
+
+def _apply_separable(x: jax.Array, w_h: np.ndarray, w_w: np.ndarray) -> jax.Array:
+    """NHWC: out[b, i, j, c] = sum_{y,x} w_h[i,y] * w_w[j,x] * in[b,y,x,c].
+
+    Two einsum contractions — both run on the MXU.
+    """
+    dtype = x.dtype
+    wh = jnp.asarray(w_h, dtype=jnp.float32)
+    ww = jnp.asarray(w_w, dtype=jnp.float32)
+    y = jnp.einsum("iy,byxc->bixc", wh, x.astype(jnp.float32))
+    y = jnp.einsum("jx,byxc->byjc", ww, y)
+    return y.astype(dtype)
+
+
+def resize_bilinear(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear resize of NHWC, half-pixel convention (align_corners=False).
+
+    Implemented as a separable dense-matrix product so the interpolation is a
+    pair of MXU matmuls rather than a gather.
+    """
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    return _apply_separable(x, _linear_weights(h, oh), _linear_weights(w, ow))
+
+
+def _adaptive_pool_weights(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) averaging matrix for ``nn.AdaptiveAvgPool2d``:
+    region i covers [floor(i*in/out), ceil((i+1)*in/out))."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        start = (i * in_size) // out_size
+        end = -((-(i + 1) * in_size) // out_size)  # ceil
+        w[i, start:end] = 1.0 / (end - start)
+    return w
+
+
+def adaptive_avg_pool(x: jax.Array, out_size: int) -> jax.Array:
+    """Adaptive average pooling of NHWC to (out_size, out_size); exact parity
+    with ``nn.AdaptiveAvgPool2d`` (PPM scales, reference upernext.py:62,139)."""
+    h, w = x.shape[1], x.shape[2]
+    return _apply_separable(
+        x, _adaptive_pool_weights(h, out_size), _adaptive_pool_weights(w, out_size)
+    )
+
+
+def area_resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) box-filter matrix matching ``cv2.INTER_AREA`` for
+    shrinking: output pixel i averages src span [i*s, (i+1)*s), s = in/out,
+    with fractional edge coverage."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    scale = in_size / out_size
+    for i in range(out_size):
+        left = i * scale
+        right = (i + 1) * scale
+        lo = int(math.floor(left))
+        hi = int(math.ceil(right))
+        for j in range(lo, min(hi, in_size)):
+            cover = min(j + 1.0, right) - max(float(j), left)
+            if cover > 0:
+                w[i, j] = cover / scale
+    return w
+
+
+def area_downsample(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Area (box-average) downsample of NHWC — on-device equivalent of the
+    host-side ``cv2.INTER_AREA`` resize in the reference's rough preprocessing
+    (inferencing/adaptive_scaling.py:96-107), expressed as MXU matmuls."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    return _apply_separable(x, area_resize_weights(h, oh), area_resize_weights(w, ow))
+
+
+def pad_length_to_make_divisible(length: int, downsampling_factor: int) -> Tuple[int, int]:
+    """Reference inferencing/opt.py:16-18 semantics."""
+    padded = math.ceil(length / downsampling_factor) * downsampling_factor
+    return padded, padded - length
+
+
+@partial(jax.jit, static_argnames=("downsampling_factor",))
+def pad_to_divisible(x: jax.Array, downsampling_factor: int = 32) -> jax.Array:
+    """Zero-pad NHWC bottom/right so H and W divide ``downsampling_factor``
+    (reference inferencing/opt.py:21-41, moved on-device)."""
+    h, w = x.shape[1], x.shape[2]
+    ph, _ = pad_length_to_make_divisible(h, downsampling_factor)
+    pw, _ = pad_length_to_make_divisible(w, downsampling_factor)
+    if (ph, pw) == (h, w):
+        return x
+    return jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))

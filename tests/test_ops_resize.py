@@ -1,0 +1,117 @@
+"""Parity tests for resize/pool primitives vs torch/cv2 semantics.
+
+These pin the interpolation conventions that the 1e-3 model-parity bar
+depends on (SURVEY.md §7 "hard parts": F.interpolate nearest vs bilinear
+pixel-grid conventions, cv2 INTER_AREA, AdaptiveAvgPool2d).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from adascale.ops import (
+    adaptive_avg_pool,
+    area_downsample,
+    pad_length_to_make_divisible,
+    pad_to_divisible,
+    resize_bilinear,
+    resize_nearest,
+    upsample_nearest,
+)
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _rand_nhwc(rng, b, h, w, c):
+    return rng.standard_normal((b, h, w, c)).astype(np.float32)
+
+
+def _to_nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+
+def _from_nchw(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((8, 8), (16, 16)),
+    ((8, 8), (32, 32)),
+    ((5, 7), (13, 11)),
+    ((16, 16), (5, 9)),
+])
+def test_resize_nearest_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(0)
+    x = _rand_nhwc(rng, 2, *in_hw, 3)
+    expected = _from_nchw(F.interpolate(_to_nchw(x), size=out_hw, mode="nearest"))
+    got = np.asarray(resize_nearest(jnp.asarray(x), out_hw))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_upsample_nearest_matches_torch():
+    rng = np.random.default_rng(1)
+    x = _rand_nhwc(rng, 1, 6, 5, 4)
+    expected = _from_nchw(F.interpolate(_to_nchw(x), scale_factor=2, mode="nearest"))
+    got = np.asarray(upsample_nearest(jnp.asarray(x), 2))
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((8, 8), (16, 16)),
+    ((1, 1), (7, 5)),
+    ((5, 7), (13, 11)),
+    ((4, 4), (8, 8)),
+])
+def test_resize_bilinear_matches_torch(in_hw, out_hw):
+    rng = np.random.default_rng(2)
+    x = _rand_nhwc(rng, 2, *in_hw, 3)
+    expected = _from_nchw(
+        F.interpolate(_to_nchw(x), size=out_hw, mode="bilinear", align_corners=False)
+    )
+    got = np.asarray(resize_bilinear(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_size", [
+    ((12, 12), 1),
+    ((12, 12), 2),
+    ((13, 17), 3),
+    ((13, 17), 6),
+])
+def test_adaptive_avg_pool_matches_torch(in_hw, out_size):
+    rng = np.random.default_rng(3)
+    x = _rand_nhwc(rng, 2, *in_hw, 3)
+    expected = _from_nchw(torch.nn.AdaptiveAvgPool2d(out_size)(_to_nchw(x)))
+    got = np.asarray(adaptive_avg_pool(jnp.asarray(x), out_size))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((64, 64), (32, 32)),
+    ((100, 70), (72, 50)),
+    ((97, 53), (72, 39)),
+])
+def test_area_downsample_matches_cv2(in_hw, out_hw):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 255, size=(*in_hw, 3)).astype(np.float32)
+    expected = cv2.resize(img, (out_hw[1], out_hw[0]), interpolation=cv2.INTER_AREA)
+    got = np.asarray(area_downsample(jnp.asarray(img[None]), out_hw))[0]
+    np.testing.assert_allclose(got, expected, atol=1e-2)
+
+
+def test_pad_length():
+    # Mirrors reference tests/test_evaluation.py:15-22 semantics.
+    assert pad_length_to_make_divisible(64, 32) == (64, 0)
+    assert pad_length_to_make_divisible(65, 32) == (96, 31)
+    assert pad_length_to_make_divisible(1, 32) == (32, 31)
+
+
+def test_pad_to_divisible():
+    x = jnp.ones((1, 65, 33, 3))
+    y = pad_to_divisible(x, 32)
+    assert y.shape == (1, 96, 64, 3)
+    assert float(y[0, 64, 0, 0]) == 1.0
+    assert float(y[0, 65, 0, 0]) == 0.0
+    assert float(y[0, 0, 33, 0]) == 0.0
