@@ -66,6 +66,9 @@ class AdaptiveScalingConfig:
     rough_init_char_height_output_bias: float = 8.0
     precise_upsampling_factor: int = 2
     precise_enable_char_mask_head: bool = False
+    # Extension over the reference: override the backbone stage spec (e.g.
+    # micro models for tests). None -> use the named size preset.
+    custom_block_channels_and_num_layers: Optional[Tuple[Tuple[int, int], ...]] = None
 
 
 class AdaptiveScaling(nn.Module):
@@ -82,7 +85,11 @@ class AdaptiveScaling(nn.Module):
         )
 
         backbone_config = ConvNeXtConfig(
-            block_channels_and_num_layers=CONVNEXT_PRESETS[size.value]
+            block_channels_and_num_layers=(
+                cfg.custom_block_channels_and_num_layers
+                if cfg.custom_block_channels_and_num_layers is not None
+                else CONVNEXT_PRESETS[size.value]
+            )
         )
         self.backbone = ConvNeXt(config=backbone_config, dtype=self.dtype)
         in_channels_group = backbone_config.in_channels_group

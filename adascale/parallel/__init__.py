@@ -1,0 +1,7 @@
+from .mesh import (  # noqa: F401
+    create_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)

@@ -1,0 +1,105 @@
+"""Checkpoint / resume via Orbax.
+
+Reference semantics (train.py:91-97,307-338,586-603): a RestoreState of
+{epoch_idx, model params, optimizer state, scheduler state} saved when dev
+loss improves / at curriculum boundaries / at the last epoch, with
+``_not_best`` suffixes for non-best saves; restore supports lr/schedule
+surgery. Here the scheduler has no separate state — the lr is a pure
+function of the optax step count — so "patching initial_lr / base_lrs /
+eta_min" (train.py:316-335) amounts to rebuilding the optimizer with new
+configs (done naturally at restore), and ``reset_epoch_idx_to_value``
+maps to overriding the saved step count via ``reset_step``.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .train_step import TrainState
+
+
+def save_checkpoint(
+    path: str,
+    state: TrainState,
+    epoch_idx: int,
+    best: bool = True,
+) -> str:
+    """Save {epoch_idx, params, opt_state}; returns the directory written.
+    Non-best checkpoints get a ``_not_best`` suffix (train.py:594-595)."""
+    suffix = "" if best else "_not_best"
+    target = os.path.abspath(f"{path}/state_{epoch_idx}{suffix}")
+    checkpointer = ocp.PyTreeCheckpointer()
+    payload = {
+        "epoch_idx": np.asarray(epoch_idx),
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }
+    checkpointer.save(target, payload)
+    return target
+
+
+def latest_checkpoint_path(folder: str) -> Optional[str]:
+    if not os.path.isdir(folder):
+        return None
+    best_epoch, best_path = -1, None
+    for name in os.listdir(folder):
+        m = re.fullmatch(r"state_(\d+)(_not_best)?", name)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch, best_path = int(m.group(1)), os.path.join(folder, name)
+    return best_path
+
+
+def restore_checkpoint(
+    path: str,
+    template_state: TrainState,
+    reset_step: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Restore into the template's pytree structure/shardings.
+
+    ``reset_step`` overrides the optimizer step count (the analogue of the
+    reference's scheduler ``last_epoch`` surgery, train.py:332-334).
+    Returns {'epoch_idx': int, 'state': TrainState}.
+    """
+    checkpointer = ocp.PyTreeCheckpointer()
+    template = {
+        "epoch_idx": np.asarray(0),
+        "params": template_state.params,
+        "opt_state": template_state.opt_state,
+    }
+    # Restore onto the template's devices/shardings (the checkpoint may have
+    # been written from a different topology).
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+    restored = checkpointer.restore(
+        os.path.abspath(path), item=template, restore_args=restore_args
+    )
+    opt_state = restored["opt_state"]
+    if reset_step is not None:
+        opt_state = jax.tree.map(
+            lambda t, x: (
+                jax.numpy.asarray(reset_step, dtype=x.dtype)
+                if _is_count_leaf(t, x)
+                else x
+            ),
+            _count_markers(opt_state),
+            opt_state,
+        )
+    state = TrainState(params=restored["params"], opt_state=opt_state)
+    return {"epoch_idx": int(restored["epoch_idx"]), "state": state}
+
+
+def _count_markers(opt_state: Any) -> Any:
+    """Pytree of booleans marking optax ``count`` leaves (scalar int32)."""
+    flat, treedef = jax.tree.flatten_with_path(opt_state)
+    markers = [
+        any(getattr(k, "name", None) == "count" for k in path) for path, _ in flat
+    ]
+    return jax.tree.unflatten(treedef, markers)
+
+
+def _is_count_leaf(marker: bool, leaf: Any) -> bool:
+    return bool(marker) and np.ndim(leaf) == 0

@@ -1,0 +1,222 @@
+"""Functional jitted train / eval steps.
+
+The reference's hot loop (train.py:397-478) runs ``rough_loss.backward()``
+then ``precise_loss.backward()`` so gradients *accumulate across both tasks*
+before one clipped optimizer step (each loss pre-divided by 2,
+train.py:413,451). The functional equivalent computes
+``grad(rough_loss/2 + precise_loss/2)`` in a single backward — identical
+math without mutable ``.grad`` state — then applies
+clip_by_global_norm(2.5) + AdamW + cosine-warm-restarts inside one jitted,
+mesh-sharded step.
+
+Data parallelism: batches are sharded on their leading axis over the 'data'
+mesh axis; params/opt-state are replicated; XLA's sharding propagation
+inserts the psum grad all-reduce over ICI (SURVEY.md §2c).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from ..losses import (
+    AdaptiveScalingPreciseLossConfig,
+    AdaptiveScalingRoughLossConfig,
+    CoreBox,
+    precise_loss,
+    rough_loss,
+)
+from ..parallel.mesh import batch_sharding, replicated_sharding
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    """Static loss configuration; the core boxes are per-dataset constants
+    (collate contract, reference dataset/adaptive_scaling.py:353-363), so
+    they are compile-time constants here."""
+
+    rough_loss: AdaptiveScalingRoughLossConfig = AdaptiveScalingRoughLossConfig()
+    precise_loss: AdaptiveScalingPreciseLossConfig = AdaptiveScalingPreciseLossConfig()
+    rough_core_box: CoreBox = CoreBox(0, 0, 0, 0)
+    precise_core_box: CoreBox = CoreBox(0, 0, 0, 0)
+
+
+def _two_task_loss(
+    model,
+    params,
+    rough_batch: Dict[str, jax.Array],
+    precise_batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    config: TrainStepConfig,
+    deterministic: bool,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    rough_rng, precise_rng = jax.random.split(rng)
+
+    mask_feat, height_feat = model.apply(
+        {"params": params},
+        rough_batch["image"],
+        deterministic,
+        rngs=None if deterministic else {"drop_path": rough_rng},
+        method=model.forward_rough,
+    )
+    r_loss = (
+        rough_loss(
+            mask_feat,
+            height_feat,
+            rough_batch["downsampled_mask"],
+            rough_batch["downsampled_score_map"],
+            config.rough_core_box,
+            config.rough_loss,
+        )
+        / 2.0
+    )
+
+    prob, offset, angle, distance = model.apply(
+        {"params": params},
+        precise_batch["image"],
+        deterministic,
+        rngs=None if deterministic else {"drop_path": precise_rng},
+        method=model.forward_precise,
+    )
+    p_loss = (
+        precise_loss(
+            prob,
+            offset,
+            angle,
+            distance,
+            precise_batch["downsampled_score_map"],
+            precise_batch["downsampled_mask"],
+            config.precise_core_box,
+            precise_batch["downsampled_label_point_y"],
+            precise_batch["downsampled_label_point_x"],
+            precise_batch["up_left_offsets"],
+            precise_batch["corner_angles"],
+            precise_batch["corner_distances"],
+            config.precise_loss,
+        )
+        / 2.0
+    )
+    return r_loss + p_loss, (r_loss, p_loss)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    config: TrainStepConfig,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step:
+    (state, rng, rough_batch, precise_batch) -> (state, metrics)."""
+
+    def step(state: TrainState, rng, rough_batch, precise_batch):
+        grad_fn = jax.value_and_grad(
+            partial(_two_task_loss, model),
+            has_aux=True,
+        )
+        (_, (r_loss, p_loss)), grads = grad_fn(
+            state.params, rough_batch, precise_batch, rng, config, False
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"rough_loss": r_loss, "precise_loss": p_loss}
+        return TrainState(params=params, opt_state=opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(
+    model,
+    config: TrainStepConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted eval step: (params, rough_batch, precise_batch) ->
+    {'rough_loss', 'precise_loss'} (losses pre-divided by 2, matching
+    train.py:517,550)."""
+
+    def step(params, rough_batch, precise_batch):
+        _, (r_loss, p_loss) = _two_task_loss(
+            model, params, rough_batch, precise_batch,
+            jax.random.PRNGKey(0), config, True,
+        )
+        return {"rough_loss": r_loss, "precise_loss": p_loss}
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(repl, data, data), out_shardings=repl)
+
+
+def make_grad_inspection_fn(model, config: TrainStepConfig) -> Callable:
+    """Multitask gradient inspection (reference model debug classmethods,
+    adaptive_scaling.py:179-237 + train.py:420-466): per-task gradient
+    abs-mean/std over the *shared* parameters, computed functionally."""
+
+    def inspect(params, rng, rough_batch, precise_batch):
+        def rough_only(p):
+            mask_feat, height_feat = model.apply(
+                {"params": p}, rough_batch["image"], True, method=model.forward_rough
+            )
+            return rough_loss(
+                mask_feat, height_feat,
+                rough_batch["downsampled_mask"], rough_batch["downsampled_score_map"],
+                config.rough_core_box, config.rough_loss,
+            ) / 2.0
+
+        def precise_only(p):
+            prob, offset, angle, distance = model.apply(
+                {"params": p}, precise_batch["image"], True, method=model.forward_precise
+            )
+            return precise_loss(
+                prob, offset, angle, distance,
+                precise_batch["downsampled_score_map"],
+                precise_batch["downsampled_mask"],
+                config.precise_core_box,
+                precise_batch["downsampled_label_point_y"],
+                precise_batch["downsampled_label_point_x"],
+                precise_batch["up_left_offsets"],
+                precise_batch["corner_angles"],
+                precise_batch["corner_distances"],
+                config.precise_loss,
+            ) / 2.0
+
+        rough_grads = jax.grad(rough_only)(params)
+        precise_grads = jax.grad(precise_only)(params)
+
+        def flat_abs(tree):
+            leaves = [jnp.abs(x).reshape(-1) for x in jax.tree.leaves(tree)]
+            return jnp.concatenate(leaves)
+
+        rough_abs = flat_abs(rough_grads)
+        precise_abs = flat_abs(precise_grads)
+        return {
+            "rough_abs_grads_mean": jnp.mean(rough_abs),
+            "rough_abs_grads_std": jnp.std(rough_abs),
+            "precise_abs_grads_mean": jnp.mean(precise_abs),
+            "precise_abs_grads_std": jnp.std(precise_abs),
+        }
+
+    return jax.jit(inspect)

@@ -1,0 +1,198 @@
+"""Training subsystem tests: metrics golden values (mirrors reference
+tests/test_training.py:29-35), torch scheduler parity, data-parallel train
+step over an 8-device CPU mesh, and checkpoint roundtrip with step surgery."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adascale.losses import CoreBox
+from adascale.models import (
+    AdaptiveScaling,
+    AdaptiveScalingConfig,
+    AdaptiveScalingNeckHeadType,
+    AdaptiveScalingSize,
+)
+from adascale.parallel import create_mesh, replicate, shard_batch
+from adascale.training import (
+    Metrics,
+    OptimizerConfig,
+    TrainStepConfig,
+    build_optimizer,
+    cosine_annealing_warm_restarts,
+    make_eval_step,
+    make_train_step,
+    setup_seeds,
+)
+from adascale.training.train_step import TrainState, make_grad_inspection_fn
+
+
+def test_metrics_sliding_window():
+    metrics = Metrics(["foo", "bar"], 3)
+    assert np.isclose(metrics.update("foo", 1), 1)
+    assert np.isclose(metrics.update("foo", 2), 1.5)
+    assert np.isclose(metrics.update("foo", 3), 2)
+    assert np.isclose(metrics.update("foo", 4), 3)
+    metrics.reset(["foo"])
+    assert np.isclose(metrics.update("foo", 10), 10)
+
+
+def test_schedule_matches_torch_cosine_warm_restarts():
+    torch = pytest.importorskip("torch")
+    t0, tmult, eta_min, base_lr = 10, 10, 8e-6, 8e-4
+    steps_per_epoch = 50
+
+    model = torch.nn.Linear(1, 1)
+    opt = torch.optim.AdamW(model.parameters(), lr=base_lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=t0, T_mult=tmult, eta_min=eta_min
+    )
+    schedule = cosine_annealing_warm_restarts(base_lr, t0, tmult, eta_min, steps_per_epoch)
+
+    # The reference steps with fractional epoch epoch + (b-1)/B (train.py:475-477).
+    for epoch in range(0, 130, 7):
+        for batch_idx in (1, 17, 50):
+            frac = epoch + (batch_idx - 1) / steps_per_epoch
+            sched.step(frac)
+            expected = opt.param_groups[0]["lr"]
+            got = float(schedule(epoch * steps_per_epoch + (batch_idx - 1)))
+            np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-9)
+
+
+def _micro_model():
+    config = AdaptiveScalingConfig(
+        size=AdaptiveScalingSize.TINY,
+        neck_head_type=AdaptiveScalingNeckHeadType.FPN,
+        custom_block_channels_and_num_layers=((8, 1), (16, 1), (32, 1), (64, 1)),
+    )
+    return AdaptiveScaling(config=config)
+
+
+def _micro_batches(rng, b=8, hw=32, p=8):
+    fdf = 2  # rough/precise upsampling factor 2 -> H/2 features
+    fh = hw // fdf
+    rough = {
+        "image": rng.uniform(0, 255, (b, hw, hw, 3)).astype(np.float32),
+        "downsampled_mask": (rng.uniform(size=(b, fh, fh)) > 0.5).astype(np.float32),
+        "downsampled_score_map": rng.uniform(0, 10, (b, fh, fh)).astype(np.float32),
+    }
+    precise = {
+        "image": rng.uniform(0, 255, (b, hw, hw, 3)).astype(np.float32),
+        "downsampled_mask": (rng.uniform(size=(b, fh, fh)) > 0.5).astype(np.float32),
+        "downsampled_score_map": rng.uniform(0, 1, (b, fh, fh)).astype(np.float32),
+        "downsampled_label_point_y": rng.integers(0, fh, (b, p)),
+        "downsampled_label_point_x": rng.integers(0, fh, (b, p)),
+        "up_left_offsets": rng.uniform(-4, 4, (b, p, 2)).astype(np.float32),
+        "corner_angles": rng.dirichlet(np.ones(4), size=(b, p)).astype(np.float32),
+        "corner_distances": rng.uniform(0, 10, (b, p, 3)).astype(np.float32),
+    }
+    return rough, precise
+
+
+def _step_config(hw=32):
+    fh = hw // 2
+    box = CoreBox(0, fh - 1, 0, fh - 1)
+    return TrainStepConfig(rough_core_box=box, precise_core_box=box)
+
+
+def test_train_step_single_device():
+    model = _micro_model()
+    rng_np = np.random.default_rng(0)
+    rough, precise = _micro_batches(rng_np)
+    key = setup_seeds()
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+    state = TrainState(params=params, opt_state=tx.init(params))
+
+    step = make_train_step(model, tx, _step_config(), donate=False)
+    state2, metrics = step(state, key, rough, precise)
+    assert np.isfinite(float(metrics["rough_loss"]))
+    assert np.isfinite(float(metrics["precise_loss"]))
+    # Params changed.
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+    eval_step = make_eval_step(model, _step_config())
+    em = eval_step(state2.params, rough, precise)
+    assert np.isfinite(float(em["rough_loss"]))
+
+
+def test_train_step_data_parallel_8_devices():
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= 8, "conftest should force 8 virtual CPU devices"
+    mesh = create_mesh(cpus[:8])
+
+    model = _micro_model()
+    rng_np = np.random.default_rng(1)
+    rough, precise = _micro_batches(rng_np, b=8)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+    state = TrainState(params=params, opt_state=tx.init(params))
+
+    state = replicate(state, mesh)
+    rough_s = shard_batch(rough, mesh)
+    precise_s = shard_batch(precise, mesh)
+
+    step = make_train_step(model, tx, _step_config(), mesh=mesh, donate=False)
+    state2, metrics = step(state, key, rough_s, precise_s)
+    assert np.isfinite(float(metrics["rough_loss"]))
+
+    # DP must equal single-device (same batch, same params): run the plain
+    # step on the unsharded batch and compare losses.
+    plain = make_train_step(model, tx, _step_config(), donate=False)
+    state_plain = TrainState(params=params, opt_state=tx.init(params))
+    _, metrics_plain = plain(state_plain, key, rough, precise)
+    np.testing.assert_allclose(
+        float(metrics["rough_loss"]), float(metrics_plain["rough_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics["precise_loss"]), float(metrics_plain["precise_loss"]), rtol=1e-4
+    )
+
+
+def test_grad_inspection():
+    model = _micro_model()
+    rng_np = np.random.default_rng(2)
+    rough, precise = _micro_batches(rng_np, b=2)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    inspect = make_grad_inspection_fn(model, _step_config())
+    stats = inspect(params, key, rough, precise)
+    for v in stats.values():
+        assert np.isfinite(float(v))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from adascale.training import restore_checkpoint, save_checkpoint, latest_checkpoint_path
+
+    model = _micro_model()
+    key = jax.random.PRNGKey(3)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+    state = TrainState(params=params, opt_state=tx.init(params))
+
+    rough, precise = _micro_batches(np.random.default_rng(4), b=2)
+    step = make_train_step(model, tx, _step_config(), donate=False)
+    state, _ = step(state, key, rough, precise)
+
+    save_checkpoint(str(tmp_path), state, epoch_idx=5, best=False)
+    path = latest_checkpoint_path(str(tmp_path))
+    assert path and path.endswith("state_5_not_best")
+
+    template = TrainState(params=params, opt_state=tx.init(params))
+    restored = restore_checkpoint(path, template)
+    assert restored["epoch_idx"] == 5
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored["state"].params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # Step surgery (reference reset_epoch_idx_to_value, train.py:332-338).
+    restored2 = restore_checkpoint(path, template, reset_step=70)
+    counts = [
+        x for path_, x in jax.tree_util.tree_flatten_with_path(restored2["state"].opt_state)[0]
+        if any(getattr(k, "name", None) == "count" for k in path_)
+    ]
+    assert counts and all(int(c) == 70 for c in counts)
