@@ -1,0 +1,183 @@
+"""Data subsystem tests: geometry primitives, synth-page determinism
+(the role of reference tests/test_training.py:38-78's golden RNG test),
+label/reconstruction inverse consistency, and the dataset/collate contract."""
+import numpy as np
+
+from adascale.data import (
+    AdaptiveScalingDatasetConfig,
+    AdaptiveScalingIterableDataset,
+    Box,
+    Polygon,
+    affine_polygons,
+    collate_samples,
+    generate_page,
+    mask_to_disconnected_polygons,
+    rotate_trans_mat,
+)
+from adascale.data.dataset import SynthPipelineConfig, run_pipeline
+from adascale.data.synth import SynthPageConfig, char_regression_label, CharInstance
+
+
+def _small_pipeline(**kw):
+    defaults = dict(
+        page=SynthPageConfig(
+            page_height=256, page_width=256, num_lines_min=3, num_lines_max=6,
+            char_height_min=10, char_height_max=28,
+        ),
+        rough_crop_size=128,
+        rough_core_margin=8,
+        precise_crop_size=96,
+        precise_core_margin=4,
+        rough_samples_per_page=2,
+        precise_samples_per_page=3,
+    )
+    defaults.update(kw)
+    return SynthPipelineConfig(**defaults)
+
+
+def test_box_and_polygon_basics():
+    box = Box(2, 5, 3, 7)
+    assert box.shape == (4, 5)
+    mat = np.arange(100).reshape(10, 10)
+    assert box.extract(mat).shape == (4, 5)
+    assert box.extract(mat)[0, 0] == 23
+
+    poly = Polygon(np.asarray([[2, 2], [8, 2], [8, 6], [2, 6]], dtype=np.float32))
+    assert poly.area() == 24
+    mask = poly.fill_mask((10, 10))
+    assert mask.sum() > 0
+    bb = poly.bounding_box()
+    assert (bb.up, bb.down, bb.left, bb.right) == (2, 6, 2, 8)
+
+    resized = poly.to_conducted_resized_polygon((10, 10), (20, 40))
+    np.testing.assert_allclose(resized.points[1], [32, 4])
+
+
+def test_mask_to_disconnected_polygons():
+    mask = np.zeros((40, 40), dtype=np.uint8)
+    mask[5:15, 5:15] = 1
+    mask[25:35, 20:38] = 1
+    polys = mask_to_disconnected_polygons(mask)
+    assert len(polys) == 2
+    reconstructed = np.zeros((40, 40), dtype=np.uint8)
+    for p in polys:
+        reconstructed |= p.fill_mask((40, 40))
+    # Contours should cover most of the original components.
+    assert (reconstructed & mask).sum() / mask.sum() > 0.8
+
+
+def test_affine_rotate_roundtrip():
+    shape = (30, 50)
+    mat = rotate_trans_mat(33.0, shape)
+    poly = Polygon(np.asarray([[4, 5], [40, 6], [41, 25], [3, 24]], dtype=np.float32))
+    full = np.vstack([mat, [0, 0, 1]]).astype(np.float32)
+    rotated = affine_polygons(full, [poly])[0]
+    inv = np.linalg.inv(full)
+    restored = affine_polygons(inv, [rotated])[0]
+    np.testing.assert_allclose(restored.points, poly.points, atol=1e-3)
+
+
+def test_synth_page_determinism():
+    cfg = _small_pipeline()
+    r1 = run_pipeline(cfg, rng_seed=7, run_idx=3)
+    r2 = run_pipeline(cfg, rng_seed=7, run_idx=3)
+    r3 = run_pipeline(cfg, rng_seed=7, run_idx=4)
+
+    np.testing.assert_array_equal(r1[0][0].image, r2[0][0].image)
+    np.testing.assert_array_equal(r1[0][0].downsampled_mask, r2[0][0].downsampled_mask)
+    assert not np.array_equal(r1[0][0].image, r3[0][0].image)
+    # rng_state regenerates the sample (provenance parity).
+    assert r1[0][0].rng_state == {"rng_seed": 7, "run_idx": 3}
+
+
+def test_char_regression_label_polar_inverse():
+    """The label must invert exactly under the inference-side polar
+    reconstruction (reference inferencing/adaptive_scaling.py:398-465)."""
+    rng = np.random.default_rng(0)
+    f = 2
+    for _ in range(50):
+        # Random convex-ish quad around a center.
+        cy, cx = rng.uniform(20, 40, size=2)
+        h = rng.uniform(6, 20)
+        w = rng.uniform(4, 16)
+        angle = rng.uniform(-0.6, 0.6)
+        rot = np.asarray(
+            [[np.cos(angle), -np.sin(angle)], [np.sin(angle), np.cos(angle)]]
+        )
+        base = np.asarray(
+            [[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]]
+        )
+        corners = (base @ rot.T + np.asarray([cx, cy])).astype(np.float32)
+        char = CharInstance(corners=corners, height=h)
+
+        label = char_regression_label(char, f, (40, 40))
+        assert label is not None
+        py, px, ul_off, angles, distances = label
+
+        # Polar reconstruction.
+        point = np.asarray([px * f, py * f], dtype=np.float64)
+        up_left = point + np.asarray([ul_off[1], ul_off[0]])
+        np.testing.assert_allclose(up_left, corners[0], atol=1e-3)
+
+        theta = np.arctan2(ul_off[0], ul_off[1]) % (2 * np.pi)
+        rec = [up_left]
+        for i in range(3):
+            theta = (theta + angles[i] * 2 * np.pi) % (2 * np.pi)
+            rec.append(
+                point + distances[i + 1] * np.asarray([np.cos(theta), np.sin(theta)])
+            )
+        np.testing.assert_allclose(np.asarray(rec), corners, atol=1e-2)
+
+
+def _steps_json(tmp_path):
+    from adascale.utils.config import dump_config
+
+    path = tmp_path / "steps.json"
+    dump_config(_small_pipeline(), path)
+    return str(path)
+
+
+def test_dataset_dev_mode_and_collate(tmp_path):
+    cfg = AdaptiveScalingDatasetConfig(
+        steps_json=_steps_json(tmp_path),
+        num_samples=4,
+        num_page_char_regression_labels=16,
+        rng_seed=11,
+        is_dev=True,
+    )
+    ds = AdaptiveScalingIterableDataset(cfg)
+    pairs = list(ds)
+    assert len(pairs) == 4
+
+    batch = collate_samples(pairs)
+    rough, precise = batch["rough"], batch["precise"]
+    assert rough["image"].shape == (4, 128, 128, 3)
+    assert rough["downsampled_mask"].shape == (4, 48, 48)  # 64 - 2*8 margin
+    assert rough["downsampled_score_map"].dtype == np.float32
+    assert rough["downsampled_shape"] == (64, 64)
+
+    assert precise["image"].shape == (4, 96, 96, 3)
+    assert precise["downsampled_mask"].shape == (4, 40, 40)  # 48 - 2*4
+    assert precise["downsampled_label_point_y"].shape == (4, 16)
+    assert precise["up_left_offsets"].shape == (4, 16, 2)
+    assert precise["corner_angles"].shape == (4, 16, 4)
+    np.testing.assert_allclose(precise["corner_angles"].sum(-1), 1.0, atol=1e-4)
+    assert precise["corner_distances"].shape == (4, 16, 3)
+    cb = precise["downsampled_core_box"]
+    assert (cb.up, cb.down, cb.left, cb.right) == (4, 43, 4, 43)
+
+
+def test_dataset_train_streaming(tmp_path):
+    cfg = AdaptiveScalingDatasetConfig(
+        steps_json=_steps_json(tmp_path),
+        num_samples=5,
+        num_page_char_regression_labels=8,
+        rng_seed=3,
+        num_cached_runs=2,
+    )
+    ds = AdaptiveScalingIterableDataset(cfg)
+    pairs = list(ds)
+    assert len(pairs) == 5
+    for rough, precise in pairs:
+        assert rough.image.shape == (128, 128, 3)
+        assert len(precise.char_labels) == 8
