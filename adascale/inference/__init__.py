@@ -1,0 +1,11 @@
+from .engine import (  # noqa: F401
+    AdaptiveScalingInferenceConfig,
+    AdaptiveScalingInference,
+    RoughInferResult,
+    PreciseInferResult,
+)
+from .flatten import (  # noqa: F401
+    TextRegionFlattener,
+    FlattenedTextRegion,
+    stack_flattened_text_regions,
+)

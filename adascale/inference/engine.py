@@ -1,0 +1,483 @@
+"""Two-stage adaptive-scaling inference engine.
+
+Re-designs the reference serving subsystem (/root/reference/vkit_open_model/
+inferencing/adaptive_scaling.py:41-600) TPU-first:
+
+  * Each stage is ONE jitted device program per shape bucket: preprocessing
+    (area resize + /32 pad), the forward pass, sigmoid/threshold/softmax,
+    padding invalidation, small-height clearing and peak picking all run
+    on-chip; only final maps/peaks cross back to host (the reference does
+    all pre/post on host with cv2/scipy, :96-121,145-175,341-387,480-491).
+  * Peak picking = max-pool(5x5) equality + prob threshold — the jit
+    equivalent of ``scipy.ndimage.maximum_filter`` (:485-491).
+  * Host geometry (region flattening, packing, polar polygon build, inverse
+    remap) uses adascale.data.geometry / adascale.inference.flatten.
+
+The artifact contract mirrors the reference's TorchScript export (params +
+model config instead of a scripted module, train.py:608-644): pass params
+directly, an orbax checkpoint dir, or a PyTorch reference state_dict path.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.geometry import (
+    Box,
+    Polygon,
+    affine_polygons,
+    mask_to_disconnected_polygons,
+    rotate_trans_mat,
+)
+from ..models import AdaptiveScaling, AdaptiveScalingConfig
+from ..utils.config import load_config
+from .flatten import (
+    FlattenedTextRegion,
+    TextRegionFlattener,
+    stack_flattened_text_regions,
+)
+from .preprocess import compute_padded_shape, compute_rough_shapes
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveScalingInferenceConfig:
+    """Mirrors reference AdaptiveScalingInferencingConfig (:41-59)."""
+
+    checkpoint: Optional[str] = None
+    model: AdaptiveScalingConfig = AdaptiveScalingConfig()
+    backbone_downsampling_factor: int = 32
+    rough_head_upsampling_factor: int = 2
+    rough_downsample_short_side_length: int = 720
+    rough_char_mask_positive_thr: float = 0.5
+    rough_valid_char_height_min: float = 3.0
+    precise_head_upsampling_factor: int = 2
+    precise_text_region_flattener_typical_long_side_ratio_min: float = 3.0
+    precise_text_region_flattener_text_region_polygon_dilate_ratio: float = 0.8
+    precise_flattened_text_region_resized_char_height_median: int = 35
+    precise_flattened_text_region_resized_ratio_min: float = 0.25
+    precise_stack_flattened_text_regions_page_pad: int = 10
+    precise_stack_flattened_text_regions_pad: int = 2
+    precise_build_polygons_positive_char_prob_thr: float = 0.7
+    precise_build_polygons_maximum_filter_size: int = 5
+    # TPU-native knobs.
+    shape_bucket: int = 64
+    matmul_precision: str = "highest"  # 'highest' = fp32 parity; 'default' = fast bf16
+
+
+@dataclasses.dataclass
+class RoughInferResult:
+    resized_shape: Tuple[int, int]  # valid region of the feature maps
+    resized_image_shape: Tuple[int, int]
+    padded_image_shape: Tuple[int, int]
+    rough_char_mask: np.ndarray  # (FH, FW) uint8
+    rough_char_height_score_map: np.ndarray  # (FH, FW) float32
+
+
+@dataclasses.dataclass
+class PreciseInferResult:
+    padded_image_shape: Tuple[int, int]
+    stacked_image_shape: Tuple[int, int]
+    precise_char_prob_score_map: np.ndarray  # (FH, FW) float32
+    precise_peak_mask: np.ndarray  # (FH, FW) uint8 (thresholded local maxima)
+    precise_np_char_up_left_corner_offset: np.ndarray  # (FH, FW, 2)
+    precise_np_char_corner_angle_distribution: np.ndarray  # (FH, FW, 4)
+    precise_np_char_corner_distance: np.ndarray  # (FH, FW, 4)
+
+
+def _max_filter_same(x: jax.Array, size: int) -> jax.Array:
+    """5x5 (size x size) max filter, SAME padding — jit analogue of
+    ``scipy.ndimage.maximum_filter`` as used at reference :485-491."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(size, size),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+
+
+class AdaptiveScalingInference:
+    def __init__(
+        self,
+        config: AdaptiveScalingInferenceConfig,
+        params: Optional[Any] = None,
+        rng_seed: int = 0,
+    ):
+        self.config = config
+        self.model = AdaptiveScaling(config=config.model)
+        if params is None:
+            if config.checkpoint is None:
+                raise ValueError("need params or config.checkpoint")
+            params = load_params(config.checkpoint, config.model)
+        self.params = params
+        self._rough_cache: Dict[Tuple[int, ...], Any] = {}
+        self._precise_cache: Dict[Tuple[int, ...], Any] = {}
+        self._rng_seed = rng_seed
+
+    # ------------------------------------------------------------------ rough
+
+    def _rough_fn(self, in_hw, resized_hw, padded_hw):
+        key = (*in_hw, *resized_hw, *padded_hw)
+        if key in self._rough_cache:
+            return self._rough_cache[key]
+        cfg = self.config
+        fdf = 4 // cfg.rough_head_upsampling_factor
+        valid_h = math.ceil(resized_hw[0] / fdf)
+        valid_w = math.ceil(resized_hw[1] / fdf)
+        model = self.model
+
+        @jax.jit
+        def fn(params, image):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                from .preprocess import preprocess_image
+
+                x = preprocess_image(image, resized_hw, padded_hw)
+                mask_logits, height = model.apply(
+                    {"params": params}, x, method=model.forward_rough
+                )
+            mask = jax.nn.sigmoid(mask_logits[0, :, :, 0])
+            mask = (mask >= cfg.rough_char_mask_positive_thr).astype(jnp.uint8)
+            height = height[0, :, :, 0]
+            # Invalidate the pad region (reference :154-165).
+            fh, fw = mask.shape
+            row_ok = (jnp.arange(fh) < valid_h)[:, None]
+            col_ok = (jnp.arange(fw) < valid_w)[None, :]
+            ok = row_ok & col_ok
+            mask = jnp.where(ok, mask, 0)
+            height = jnp.where(ok, height, 0.0)
+            # Clear too-small char heights (reference :168-169).
+            height = jnp.where(
+                height < cfg.rough_valid_char_height_min, 0.0, height
+            )
+            return mask, height
+
+        self._rough_cache[key] = fn
+        return fn
+
+    def rough_infer(self, image: np.ndarray) -> RoughInferResult:
+        cfg = self.config
+        h, w = image.shape[:2]
+        resized_hw, padded_hw = compute_rough_shapes(
+            h,
+            w,
+            short_side=cfg.rough_downsample_short_side_length,
+            divisor=cfg.backbone_downsampling_factor,
+            bucket=cfg.shape_bucket,
+        )
+        fn = self._rough_fn((h, w), resized_hw, padded_hw)
+        mask, height = fn(self.params, jnp.asarray(image))
+        fdf = 4 // cfg.rough_head_upsampling_factor
+        resized_shape = (
+            math.ceil(resized_hw[0] / fdf),
+            math.ceil(resized_hw[1] / fdf),
+        )
+        return RoughInferResult(
+            resized_shape=resized_shape,
+            resized_image_shape=resized_hw,
+            padded_image_shape=padded_hw,
+            rough_char_mask=np.asarray(mask),
+            rough_char_height_score_map=np.asarray(height),
+        )
+
+    # ------------------------------------------------------- region flattening
+
+    def build_flattened_text_regions(
+        self, image: np.ndarray, rough: RoughInferResult
+    ) -> List[FlattenedTextRegion]:
+        """Reference :190-279 — including the adaptive scaling step."""
+        cfg = self.config
+        resized_shape = rough.resized_shape
+        rough_polygons = mask_to_disconnected_polygons(rough.rough_char_mask)
+
+        page_shape = image.shape[:2]
+        text_region_polygons = [
+            p.to_conducted_resized_polygon(resized_shape, page_shape)
+            for p in rough_polygons
+        ]
+
+        flattener = TextRegionFlattener(
+            typical_long_side_ratio_min=(
+                cfg.precise_text_region_flattener_typical_long_side_ratio_min
+            ),
+            text_region_polygon_dilate_ratio=(
+                cfg.precise_text_region_flattener_text_region_polygon_dilate_ratio
+            ),
+            image=image,
+            text_region_polygons=text_region_polygons,
+        )
+        regions = flattener.flattened_text_regions
+
+        # Char-height medians in original-page pixels (reference :236-248).
+        inverse_resized_ratio = page_shape[0] / (resized_shape[0] * (
+            4 // cfg.rough_head_upsampling_factor
+        ))
+        medians: List[float] = []
+        for p in rough_polygons:
+            values = p.extract_score_map_values(rough.rough_char_height_score_map)
+            values = values[values > 0]
+            medians.append(
+                float(np.median(values)) * inverse_resized_ratio if len(values) else 0.0
+            )
+
+        # Adaptive scaling: normalize each region's median char height to the
+        # canonical value (reference :250-279).
+        target = cfg.precise_flattened_text_region_resized_char_height_median
+        side_min = round(target * cfg.precise_flattened_text_region_resized_ratio_min)
+        resized_regions: List[FlattenedTextRegion] = []
+        for region, median in zip(regions, medians):
+            if median <= 0.0:
+                continue
+            scale = target / median
+            rh = round(region.height * scale)
+            rw = round(region.width * scale)
+            if rh < side_min and rw < side_min:
+                continue
+            if rh < 1 or rw < 1:
+                continue
+            resized_regions.append(
+                region.to_resized_flattened_text_region(rh, rw)
+            )
+        return resized_regions
+
+    def stack_flattened_text_regions(
+        self, flattened_text_regions: Sequence[FlattenedTextRegion]
+    ) -> Tuple[np.ndarray, List[Box]]:
+        cfg = self.config
+        return stack_flattened_text_regions(
+            page_pad=cfg.precise_stack_flattened_text_regions_page_pad,
+            flattened_text_regions_pad=cfg.precise_stack_flattened_text_regions_pad,
+            flattened_text_regions=flattened_text_regions,
+        )
+
+    # ---------------------------------------------------------------- precise
+
+    def _precise_fn(self, in_hw, padded_hw):
+        key = (*in_hw, *padded_hw)
+        if key in self._precise_cache:
+            return self._precise_cache[key]
+        cfg = self.config
+        fdf = 4 // cfg.precise_head_upsampling_factor
+        valid_h = math.ceil(in_hw[0] / fdf)
+        valid_w = math.ceil(in_hw[1] / fdf)
+        model = self.model
+
+        @jax.jit
+        def fn(params, image):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                x = image.astype(jnp.float32)[None]
+                ph, pw = padded_hw
+                h, w = in_hw
+                if (ph, pw) != (h, w):
+                    x = jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+                prob_logits, offset, angle_logits, distance = model.apply(
+                    {"params": params}, x, method=model.forward_precise
+                )
+            prob = jax.nn.sigmoid(prob_logits[0, :, :, 0])
+            fh, fw = prob.shape
+            row_ok = (jnp.arange(fh) < valid_h)[:, None]
+            col_ok = (jnp.arange(fw) < valid_w)[None, :]
+            ok = row_ok & col_ok
+            prob = jnp.where(ok, prob, 0.0)
+            angles = jax.nn.softmax(angle_logits[0], axis=-1)
+            # On-device peak picking (reference host scipy :480-491).
+            local_max = _max_filter_same(
+                prob, cfg.precise_build_polygons_maximum_filter_size
+            )
+            peaks = (
+                (prob == local_max)
+                & (prob >= cfg.precise_build_polygons_positive_char_prob_thr)
+            ).astype(jnp.uint8)
+            return prob, peaks, offset[0], angles, distance[0]
+
+        self._precise_cache[key] = fn
+        return fn
+
+    def precise_infer(self, stacked_image: np.ndarray) -> PreciseInferResult:
+        cfg = self.config
+        h, w = stacked_image.shape[:2]
+        padded_hw = compute_padded_shape(
+            h, w, divisor=cfg.backbone_downsampling_factor, bucket=cfg.shape_bucket
+        )
+        fn = self._precise_fn((h, w), padded_hw)
+        prob, peaks, offset, angles, distance = fn(
+            self.params, jnp.asarray(stacked_image)
+        )
+        return PreciseInferResult(
+            padded_image_shape=padded_hw,
+            stacked_image_shape=(h, w),
+            precise_char_prob_score_map=np.asarray(prob),
+            precise_peak_mask=np.asarray(peaks),
+            precise_np_char_up_left_corner_offset=np.asarray(offset),
+            precise_np_char_corner_angle_distribution=np.asarray(angles),
+            precise_np_char_corner_distance=np.asarray(distance),
+        )
+
+    # ------------------------------------------------------- polygon building
+
+    def precise_build_polygon(
+        self, precise: PreciseInferResult, point_y: int, point_x: int
+    ) -> Polygon:
+        """Polar corner reconstruction (reference :398-465). The point is in
+        the downsampled feature grid; its image-space position is
+        ``point * fdf`` (the convention the training labels use,
+        adascale.data.synth.char_regression_label)."""
+        cfg = self.config
+        fdf = 4 // cfg.precise_head_upsampling_factor
+        py, px = float(point_y * fdf), float(point_x * fdf)
+
+        off_y, off_x = precise.precise_np_char_up_left_corner_offset[point_y, point_x]
+        up_left = np.asarray([px + off_x, py + off_y], dtype=np.float64)
+
+        angle_distrib = precise.precise_np_char_corner_angle_distribution[point_y, point_x]
+        distances = precise.precise_np_char_corner_distance[point_y, point_x]
+        _, up_right_dis, down_right_dis, down_left_dis = distances
+
+        two_pi = 2 * np.pi
+        theta = float(np.arctan2(off_y, off_x)) % two_pi
+
+        corners = [up_left]
+        for frac, dis in zip(
+            angle_distrib[:3], (up_right_dis, down_right_dis, down_left_dis)
+        ):
+            theta = (theta + float(frac) * two_pi) % two_pi
+            corners.append(
+                np.asarray(
+                    [px + math.cos(theta) * dis, py + math.sin(theta) * dis],
+                    dtype=np.float64,
+                )
+            )
+        return Polygon(np.stack(corners))
+
+    def precise_build_grouped_polygons(
+        self,
+        precise: PreciseInferResult,
+        flattened_text_regions: Sequence[FlattenedTextRegion],
+        boxes: Sequence[Box],
+    ) -> List[List[Polygon]]:
+        """Reference :467-524: gate peaks to each region's box and flattened
+        mask, then build one polygon per peak."""
+        import cv2
+
+        assert len(flattened_text_regions) == len(boxes)
+        peak_mask = precise.precise_peak_mask
+        fh, fw = peak_mask.shape
+
+        grouped: List[List[Polygon]] = []
+        for region, box in zip(flattened_text_regions, boxes):
+            dbox = box.to_resized_box(precise.padded_image_shape, (fh, fw))
+            dbox = dbox.clamp_to((fh, fw))
+            region_mask = cv2.resize(
+                region.flattened_mask,
+                (dbox.width, dbox.height),
+                interpolation=cv2.INTER_NEAREST,
+            )
+            boxed = dbox.extract(peak_mask).copy()
+            boxed[region_mask == 0] = 0
+            ys, xs = np.nonzero(boxed)
+            polygons = [
+                self.precise_build_polygon(precise, int(y) + dbox.up, int(x) + dbox.left)
+                for y, x in zip(ys, xs)
+            ]
+            grouped.append(polygons)
+        return grouped
+
+    def precise_build_remapped_polygons(
+        self,
+        flattened_text_regions: Sequence[FlattenedTextRegion],
+        boxes: Sequence[Box],
+        grouped_polygons: Sequence[Sequence[Polygon]],
+    ) -> List[Polygon]:
+        """Undo resize/trim/rotate/shift per region (reference :526-600)."""
+        remapped: List[Polygon] = []
+        assert len(flattened_text_regions) == len(boxes) == len(grouped_polygons)
+        for region, box, polygons in zip(flattened_text_regions, boxes, grouped_polygons):
+            if not polygons:
+                continue
+            assert region.post_rotate_angle == 0
+
+            # 1. Undo stacking shift, adaptive resize, and trim.
+            stage1: List[Polygon] = []
+            for polygon in polygons:
+                p = polygon.to_relative_polygon(origin_y=box.up, origin_x=box.left)
+                p = p.to_conducted_resized_polygon(region.shape, region.shape_before_resize)
+                p = p.to_shifted_polygon(
+                    offset_y=region.rotated_trimmed_box.up,
+                    offset_x=region.rotated_trimmed_box.left,
+                )
+                stage1.append(p)
+
+            # 2. Undo the flattening rotation.
+            if region.flattening_rotate_angle != 0.0:
+                mat = rotate_trans_mat(
+                    region.flattening_rotate_angle, region.bounding_extended_box.shape
+                )
+                full = np.vstack([mat, [0.0, 0.0, 1.0]]).astype(np.float64)
+                stage1 = affine_polygons(np.linalg.inv(full), stage1)
+
+            # 3. Shift back to page coords.
+            for p in stage1:
+                remapped.append(
+                    p.to_shifted_polygon(
+                        offset_y=region.bounding_extended_box.up,
+                        offset_x=region.bounding_extended_box.left,
+                    )
+                )
+        return remapped
+
+    # -------------------------------------------------------------- end-to-end
+
+    def detect(self, image: np.ndarray) -> Dict[str, Any]:
+        """Full two-stage pipeline: page image -> char polygons in page
+        coords (the reference demo chain, experiment/adaptive_scaling/
+        demo.py:178-220)."""
+        rough = self.rough_infer(image)
+        regions = self.build_flattened_text_regions(image, rough)
+        stacked, boxes = self.stack_flattened_text_regions(regions)
+        precise = self.precise_infer(stacked)
+        grouped = self.precise_build_grouped_polygons(precise, regions, boxes)
+        remapped = self.precise_build_remapped_polygons(regions, boxes, grouped)
+        return {
+            "rough": rough,
+            "regions": regions,
+            "stacked_image": stacked,
+            "boxes": boxes,
+            "precise": precise,
+            "grouped_polygons": grouped,
+            "char_polygons": remapped,
+        }
+
+
+def load_params(checkpoint: str, model_config: AdaptiveScalingConfig) -> Any:
+    """Load inference params from an orbax checkpoint dir or a PyTorch
+    reference state-dict file (the migration path for reference-trained
+    checkpoints, train.py:608-632)."""
+    import os
+
+    path = os.path.expandvars(os.path.expanduser(checkpoint))
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        return restored["params"] if "params" in restored else restored
+    # Torch state dict (possibly wrapped in a RestoreState-like dict).
+    import torch
+
+    from ..utils.torch_port import adaptive_scaling_params_from_torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(payload, dict) and "model_jit_state_dict" in payload:
+        payload = payload["model_jit_state_dict"]
+    nh = model_config.neck_head_type
+    nh_value = nh.value if hasattr(nh, "value") else str(nh)
+    return adaptive_scaling_params_from_torch(
+        payload,
+        neck_head_type=nh_value,
+        precise_enable_char_mask_head=model_config.precise_enable_char_mask_head,
+    )
