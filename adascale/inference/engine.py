@@ -462,9 +462,9 @@ def load_params(checkpoint: str, model_config: AdaptiveScalingConfig) -> Any:
 
     path = os.path.expandvars(os.path.expanduser(checkpoint))
     if os.path.isdir(path):
-        import orbax.checkpoint as ocp
+        from ..training.checkpoint import restore_pytree_numpy
 
-        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        restored = restore_pytree_numpy(path)
         return restored["params"] if "params" in restored else restored
     # Torch state dict (possibly wrapped in a RestoreState-like dict).
     import torch

@@ -92,6 +92,17 @@ def restore_checkpoint(
     return {"epoch_idx": int(restored["epoch_idx"]), "state": state}
 
 
+def restore_pytree_numpy(path: str) -> Any:
+    """Restore an orbax pytree checkpoint as host numpy arrays, regardless of
+    the topology it was written from (used for artifact export / inference
+    param loading)."""
+    checkpointer = ocp.PyTreeCheckpointer()
+    target = os.path.abspath(path)
+    meta = checkpointer.metadata(target).item_metadata.tree
+    restore_args = jax.tree.map(lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    return checkpointer.restore(target, restore_args=restore_args)
+
+
 def _count_markers(opt_state: Any) -> Any:
     """Pytree of booleans marking optax ``count`` leaves (scalar int32)."""
     flat, treedef = jax.tree.flatten_with_path(opt_state)

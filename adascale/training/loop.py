@@ -1,0 +1,379 @@
+"""End-to-end training driver.
+
+Mirrors the reference experiment driver (/root/reference/experiment/
+adaptive_scaling/train.py:54-605): config hydration + echo-to-run-folder
+provenance, dev-set pre-generation, per-epoch-index dataset curriculum,
+alternating-task gradient accumulation (one optimizer step per rough+precise
+pair, each loss / 2), sliding-window metrics logged every 4 batches,
+dev evaluation each epoch, and best/curriculum/final checkpointing.
+
+TPU-native differences: the step is one jitted function (grads of
+rough/2 + precise/2 in a single backward); data parallelism is a mesh
+argument away; checkpoints are orbax pytrees of {epoch_idx, params,
+opt_state} (scheduler state is implied by the optax step count).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import shutil
+import statistics
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..data.dataset import (
+    AdaptiveScalingDatasetConfig,
+    AdaptiveScalingIterableDataset,
+    SynthPipelineConfig,
+    collate_samples,
+)
+from ..losses import (
+    AdaptiveScalingPreciseLossConfig,
+    AdaptiveScalingRoughLossConfig,
+    CoreBox,
+)
+from ..models import AdaptiveScaling, AdaptiveScalingConfig
+from ..parallel import create_mesh, replicate, shard_batch
+from ..utils.config import config_to_dict, dump_config, load_config
+from .checkpoint import TrainState, restore_checkpoint, save_checkpoint
+from .metrics import Metrics
+from .optimizer import OptimizerConfig, build_optimizer
+from .opt import calculate_iterable_dataset_num_samples, setup_seeds
+from .train_step import TrainStepConfig, make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class EpochConfig:
+    """Reference train.py:54-69."""
+
+    jax_seed: int = 133
+    num_epochs: int = 110
+    num_page_char_regression_labels: int = 200
+    train_num_batches: int = 1000
+    train_batch_size: int = 6
+    train_rng_seed: int = 13371
+    train_num_processes: int = 10
+    dev_num_batches: int = 70
+    dev_batch_size: int = 22
+    dev_rng_seed: int = 13
+    dev_num_processes: int = 32
+    avg_num_batches: int = 50
+    enable_overfit_testing: bool = False
+    enable_multitask_gradiant_inspection: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    """Reference train.py:99-104: per-epoch-index curriculum."""
+
+    train_adaptive_scaling_dataset_steps_jsons: Sequence[str] = ()
+    train_rng_seeds: Sequence[int] = ()
+    epoch_indices: Sequence[int] = (0,)
+    dev_adaptive_scaling_dataset_steps_json: Optional[str] = None
+
+
+def _clean_batch(batch: Dict) -> Dict:
+    """Keep only array leaves for the jitted step (shape/core-box/rng-state
+    metadata are static or host-side)."""
+    drop = {"downsampled_shape", "downsampled_core_box", "rng_states"}
+    return {k: v for k, v in batch.items() if k not in drop}
+
+
+def _core_boxes_from_pipeline(pipeline: SynthPipelineConfig) -> Tuple[CoreBox, CoreBox]:
+    f = pipeline.downsample_factor
+    rd = pipeline.rough_crop_size // f
+    rm = pipeline.rough_core_margin
+    pd = pipeline.precise_crop_size // f
+    pm = pipeline.precise_core_margin
+    return (
+        CoreBox(rm, rd - 1 - rm, rm, rd - 1 - rm),
+        CoreBox(pm, pd - 1 - pm, pm, pd - 1 - pm),
+    )
+
+
+def train(
+    dataset_config_json: Optional[str],
+    output_folder: str,
+    reset_output_folder: bool = False,
+    epoch_config_json: Optional[str] = None,
+    model_config_json: Optional[str] = None,
+    optimizer_config_json: Optional[str] = None,
+    rough_loss_config_json: Optional[str] = None,
+    precise_loss_config_json: Optional[str] = None,
+    restore_state_path: Optional[str] = None,
+    restore_epoch_idx: bool = True,
+    reset_epoch_idx_to_value: Optional[int] = None,
+    use_mesh: bool = False,
+) -> Dict[str, float]:
+    if reset_output_folder and os.path.isdir(output_folder):
+        shutil.rmtree(output_folder)
+    os.makedirs(output_folder, exist_ok=True)
+    out_fd = output_folder
+
+    handler = logging.FileHandler(os.path.join(out_fd, "log.txt"))
+    handler.setFormatter(logging.Formatter("%(message)s   [%(asctime)s]"))
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+
+    # Config hydration + echo (train.py:132-194 provenance behavior).
+    dataset_config = load_config(dataset_config_json, DatasetConfig)
+    epoch_config = load_config(epoch_config_json, EpochConfig)
+    model_config = load_config(model_config_json, AdaptiveScalingConfig)
+    optimizer_config = load_config(optimizer_config_json, OptimizerConfig)
+    rough_loss_config = load_config(rough_loss_config_json, AdaptiveScalingRoughLossConfig)
+    precise_loss_config = load_config(
+        precise_loss_config_json, AdaptiveScalingPreciseLossConfig
+    )
+    for name, cfg in [
+        ("dataset_config", dataset_config),
+        ("epoch_config", epoch_config),
+        ("model_config", model_config),
+        ("optimizer_config", optimizer_config),
+        ("rough_loss_config", rough_loss_config),
+        ("precise_loss_config", precise_loss_config),
+    ]:
+        logger.info("%s: %s", name, config_to_dict(cfg))
+        dump_config(cfg, os.path.join(out_fd, f"{name}.json"))
+
+    key = setup_seeds(jax_seed=epoch_config.jax_seed)
+
+    train_num_samples = calculate_iterable_dataset_num_samples(
+        epoch_config.train_batch_size, epoch_config.train_num_batches
+    )
+    dev_num_samples = calculate_iterable_dataset_num_samples(
+        epoch_config.dev_batch_size, epoch_config.dev_num_batches
+    )
+
+    # Dev dataset (pre-generated + cached, train.py:221-233).
+    dev_dataset = None
+    if not epoch_config.enable_overfit_testing and not (
+        epoch_config.enable_multitask_gradiant_inspection
+    ):
+        dev_dataset = AdaptiveScalingIterableDataset(
+            AdaptiveScalingDatasetConfig(
+                steps_json=dataset_config.dev_adaptive_scaling_dataset_steps_json,
+                num_page_char_regression_labels=(
+                    epoch_config.num_page_char_regression_labels
+                ),
+                num_samples=dev_num_samples,
+                rng_seed=epoch_config.dev_rng_seed,
+                num_processes=epoch_config.dev_num_processes,
+                is_dev=True,
+            )
+        )
+
+    epoch_to_steps_json = dict(
+        zip(
+            dataset_config.epoch_indices,
+            dataset_config.train_adaptive_scaling_dataset_steps_jsons
+            or [dataset_config.dev_adaptive_scaling_dataset_steps_json]
+            * len(dataset_config.epoch_indices),
+        )
+    )
+    epoch_to_rng_seed = dict(
+        zip(
+            dataset_config.epoch_indices,
+            dataset_config.train_rng_seeds
+            or [epoch_config.train_rng_seed] * len(dataset_config.epoch_indices),
+        )
+    )
+
+    def build_train_dataset(steps_json, rng_seed):
+        return AdaptiveScalingIterableDataset(
+            AdaptiveScalingDatasetConfig(
+                steps_json=steps_json,
+                num_page_char_regression_labels=(
+                    epoch_config.num_page_char_regression_labels
+                ),
+                num_samples=train_num_samples,
+                rng_seed=rng_seed,
+                num_processes=epoch_config.train_num_processes,
+                num_cached_runs=max(1, epoch_config.train_num_processes) * 3,
+            )
+        )
+
+    train_dataset = build_train_dataset(
+        epoch_to_steps_json.get(0), epoch_to_rng_seed.get(0, epoch_config.train_rng_seed)
+    )
+
+    # Model + optimizer.
+    model = AdaptiveScaling(config=model_config)
+    init_size = train_dataset.pipeline.rough_crop_size
+    params = model.init(key, np.zeros((1, init_size, init_size, 3), np.float32))["params"]
+    tx, schedule = build_optimizer(
+        optimizer_config, steps_per_epoch=epoch_config.train_num_batches
+    )
+    state = TrainState(params=params, opt_state=tx.init(params))
+
+    rough_core, precise_core = _core_boxes_from_pipeline(train_dataset.pipeline)
+    step_config = TrainStepConfig(
+        rough_loss=rough_loss_config,
+        precise_loss=precise_loss_config,
+        rough_core_box=rough_core,
+        precise_core_box=precise_core,
+    )
+
+    mesh = create_mesh() if use_mesh else None
+    train_step = make_train_step(model, tx, step_config, mesh=mesh, donate=False)
+    eval_step = make_eval_step(model, step_config, mesh=mesh)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    metrics = Metrics(
+        ["train_rough_loss", "train_precise_loss", "dev_rough_loss", "dev_precise_loss"],
+        avg_num_batches=epoch_config.avg_num_batches,
+    )
+
+    epoch_idx = 0
+    if restore_state_path:
+        restored = restore_checkpoint(
+            restore_state_path,
+            state,
+            reset_step=(
+                reset_epoch_idx_to_value * epoch_config.train_num_batches
+                if reset_epoch_idx_to_value
+                else None
+            ),
+        )
+        state = restored["state"]
+        if restore_epoch_idx:
+            epoch_idx = restored["epoch_idx"] + 1
+    if reset_epoch_idx_to_value:
+        epoch_idx = reset_epoch_idx_to_value
+
+    best = {"dev_loss": float("inf"), "rough": float("inf"), "precise": float("inf")}
+    last_metrics: Dict[str, float] = {}
+
+    while epoch_idx < epoch_config.num_epochs:
+        # Curriculum rebuild (train.py:359-391).
+        if epoch_idx > 0 and epoch_idx in epoch_to_steps_json:
+            logger.info("Curriculum reset at epoch %d", epoch_idx)
+            train_dataset.pool.cleanup()
+            train_dataset = build_train_dataset(
+                epoch_to_steps_json[epoch_idx], epoch_to_rng_seed[epoch_idx]
+            )
+
+        logger.info("Training epoch %d ...", epoch_idx)
+        batch_iter = iter(train_dataset)
+        for batch_idx in range(1, epoch_config.train_num_batches + 1):
+            pairs = []
+            for _ in range(epoch_config.train_batch_size):
+                try:
+                    pairs.append(next(batch_iter))
+                except StopIteration:
+                    batch_iter = iter(train_dataset)
+                    pairs.append(next(batch_iter))
+            batch = collate_samples(pairs)
+            rough_b = _clean_batch(batch["rough"])
+            precise_b = _clean_batch(batch["precise"])
+            if mesh is not None:
+                rough_b = shard_batch(rough_b, mesh)
+                precise_b = shard_batch(precise_b, mesh)
+
+            key, step_key = jax.random.split(key)
+            state, step_metrics = train_step(state, step_key, rough_b, precise_b)
+            rough_avg = metrics.update(
+                "train_rough_loss", float(step_metrics["rough_loss"])
+            )
+            precise_avg = metrics.update(
+                "train_precise_loss", float(step_metrics["precise_loss"])
+            )
+            if batch_idx % 4 == 0 or batch_idx >= epoch_config.train_num_batches:
+                logger.info(
+                    "E=%d, B=%d/%d, L_rough=%.5f, L_precise=%.5f, L_sum=%.5f",
+                    epoch_idx,
+                    batch_idx,
+                    epoch_config.train_num_batches,
+                    rough_avg,
+                    precise_avg,
+                    rough_avg + precise_avg,
+                )
+
+        # Evaluation (train.py:490-576).
+        dev_loss = None
+        if dev_dataset is not None:
+            metrics.reset(["dev_rough_loss", "dev_precise_loss"])
+            dev_rough_losses: List[float] = []
+            dev_precise_losses: List[float] = []
+            dev_iter = iter(dev_dataset)
+            for _ in range(epoch_config.dev_num_batches):
+                pairs = []
+                for _ in range(epoch_config.dev_batch_size):
+                    try:
+                        pairs.append(next(dev_iter))
+                    except StopIteration:
+                        dev_iter = iter(dev_dataset)
+                        pairs.append(next(dev_iter))
+                batch = collate_samples(pairs)
+                rough_b = _clean_batch(batch["rough"])
+                precise_b = _clean_batch(batch["precise"])
+                if mesh is not None:
+                    rough_b = shard_batch(rough_b, mesh)
+                    precise_b = shard_batch(precise_b, mesh)
+                em = eval_step(state.params, rough_b, precise_b)
+                dev_rough_losses.append(float(em["rough_loss"]))
+                dev_precise_losses.append(float(em["precise_loss"]))
+
+            dev_rough = statistics.mean(dev_rough_losses)
+            dev_precise = statistics.mean(dev_precise_losses)
+            dev_loss = dev_rough + dev_precise
+            logger.info(
+                "E=%d, dev_rough_loss=%s, dev_precise_loss=%s, dev_loss=%s",
+                epoch_idx, dev_rough, dev_precise, dev_loss,
+            )
+            if dev_rough < best["rough"]:
+                best["rough"] = dev_rough
+            if dev_precise < best["precise"]:
+                best["precise"] = dev_precise
+            last_metrics = {
+                "dev_rough_loss": dev_rough,
+                "dev_precise_loss": dev_precise,
+                "dev_loss": dev_loss,
+            }
+
+        should_save = (
+            (dev_loss is not None and dev_loss < best["dev_loss"])
+            or (epoch_idx + 1) in epoch_to_steps_json
+            or epoch_idx + 1 == epoch_config.num_epochs
+        )
+        if should_save:
+            is_best = dev_loss is not None and dev_loss < best["dev_loss"]
+            if is_best:
+                best["dev_loss"] = dev_loss
+            path = save_checkpoint(out_fd, state, epoch_idx, best=is_best)
+            logger.info("E=%d, checkpoint -> %s", epoch_idx, path)
+
+        epoch_idx += 1
+
+    train_dataset.pool.cleanup()
+    return last_metrics
+
+
+def export_inference_artifact(
+    checkpoint_path: str,
+    output_folder: str,
+    model_config_json: Optional[str] = None,
+) -> str:
+    """Checkpoint -> deployable artifact {params (orbax), model_config.json}
+    — the analogue of the reference's state_dict -> TorchScript chain
+    (train.py:608-644)."""
+    import orbax.checkpoint as ocp
+
+    from .checkpoint import restore_pytree_numpy
+
+    model_config = load_config(model_config_json, AdaptiveScalingConfig)
+    os.makedirs(output_folder, exist_ok=True)
+
+    restored = restore_pytree_numpy(checkpoint_path)
+    params = restored["params"]
+    target = os.path.abspath(os.path.join(output_folder, "params"))
+    ocp.PyTreeCheckpointer().save(target, params)
+    with open(os.path.join(output_folder, "model_config.json"), "w") as fout:
+        json.dump(config_to_dict(model_config), fout, indent=2)
+    return output_folder
