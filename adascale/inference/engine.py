@@ -36,6 +36,8 @@ from ..data.geometry import (
     rotate_trans_mat,
 )
 from ..models import AdaptiveScaling, AdaptiveScalingConfig
+from ..models.adaptive_scaling import AdaptiveScalingSize
+from ..models.convnext import CONVNEXT_PRESETS
 from ..utils.config import load_config
 from .flatten import (
     FlattenedTextRegion,
@@ -68,6 +70,15 @@ class AdaptiveScalingInferenceConfig:
     # TPU-native knobs.
     shape_bucket: int = 64
     matmul_precision: str = "highest"  # 'highest' = fp32 parity; 'default' = fast bf16
+    compute_dtype: str = "float32"  # 'bfloat16' for TPU serving
+    use_pallas_backbone: bool = False  # fused ConvNeXt blocks (adascale.ops.pallas)
+    # Tiled whole-page rough mode (adascale/inference/tiled.py): process
+    # large scans at full resolution instead of short-side-720 downsampling.
+    # Enabled per-call via detect(tiled=True) or automatically when the
+    # page long side >= tiled_rough_long_side_min (None = never auto).
+    tiled_rough_tile_size: int = 768
+    tiled_rough_tile_overlap: int = 128
+    tiled_rough_long_side_min: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -111,7 +122,9 @@ class AdaptiveScalingInference:
         rng_seed: int = 0,
     ):
         self.config = config
-        self.model = AdaptiveScaling(config=config.model)
+        self.model = AdaptiveScaling(
+            config=config.model, dtype=jnp.dtype(config.compute_dtype)
+        )
         if params is None:
             if config.checkpoint is None:
                 raise ValueError("need params or config.checkpoint")
@@ -120,6 +133,40 @@ class AdaptiveScalingInference:
         self._rough_cache: Dict[Tuple[int, ...], Any] = {}
         self._precise_cache: Dict[Tuple[int, ...], Any] = {}
         self._rng_seed = rng_seed
+
+    # ---------------------------------------------------------------- forward
+
+    def _backbone_spec(self):
+        mc = self.config.model
+        if mc.custom_block_channels_and_num_layers is not None:
+            return tuple(tuple(s) for s in mc.custom_block_channels_and_num_layers)
+        size = (
+            mc.size
+            if isinstance(mc.size, AdaptiveScalingSize)
+            else AdaptiveScalingSize(mc.size)
+        )
+        return CONVNEXT_PRESETS[size.value]
+
+    def _forward(self, params, x, which: str):
+        """Backbone + neck + heads; optionally routes the backbone through
+        the fused Pallas kernels (same param tree, adascale.ops.pallas)."""
+        model = self.model
+        if self.config.use_pallas_backbone:
+            from ..ops.pallas import convnext_forward_pallas
+
+            feats = convnext_forward_pallas(
+                params["backbone"],
+                x.astype(jnp.dtype(self.config.compute_dtype)),
+                self._backbone_spec(),
+            )
+            method = (
+                model.forward_rough_from_features
+                if which == "rough"
+                else model.forward_precise_from_features
+            )
+            return model.apply({"params": params}, tuple(feats), method=method)
+        method = model.forward_rough if which == "rough" else model.forward_precise
+        return model.apply({"params": params}, x, method=method)
 
     # ------------------------------------------------------------------ rough
 
@@ -139,10 +186,8 @@ class AdaptiveScalingInference:
                 from .preprocess import preprocess_image
 
                 x = preprocess_image(image, resized_hw, padded_hw)
-                mask_logits, height = model.apply(
-                    {"params": params}, x, method=model.forward_rough
-                )
-            mask = jax.nn.sigmoid(mask_logits[0, :, :, 0])
+                mask_logits, height = self._forward(params, x, "rough")
+            mask = jax.nn.sigmoid(mask_logits[0, :, :, 0].astype(jnp.float32))
             mask = (mask >= cfg.rough_char_mask_positive_thr).astype(jnp.uint8)
             height = height[0, :, :, 0]
             # Invalidate the pad region (reference :154-165).
@@ -182,6 +227,73 @@ class AdaptiveScalingInference:
             resized_shape=resized_shape,
             resized_image_shape=resized_hw,
             padded_image_shape=padded_hw,
+            rough_char_mask=np.asarray(mask),
+            rough_char_height_score_map=np.asarray(height),
+        )
+
+    # ------------------------------------------------------------ tiled rough
+
+    def _tiled_rough_fn(self, in_hw, padded_hw):
+        key = ("tiled", *in_hw, *padded_hw)
+        if key in self._rough_cache:
+            return self._rough_cache[key]
+        cfg = self.config
+        fdf = 4 // cfg.rough_head_upsampling_factor
+        tile = cfg.tiled_rough_tile_size
+        overlap = cfg.tiled_rough_tile_overlap
+        valid_h = math.ceil(in_hw[0] / fdf)
+        valid_w = math.ceil(in_hw[1] / fdf)
+
+        @jax.jit
+        def fn(params, image):
+            from .tiled import tiled_rough_forward
+
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                h, w = in_hw
+                ph, pw = padded_hw
+                x = image.astype(jnp.float32)
+                if (ph, pw) != (h, w):
+                    x = jnp.pad(x, ((0, ph - h), (0, pw - w), (0, 0)))
+                mask_logits, height = tiled_rough_forward(
+                    lambda t: self._forward(params, t, "rough"),
+                    x,
+                    tile=tile,
+                    overlap=overlap,
+                    fdf=fdf,
+                )
+            mask = jax.nn.sigmoid(mask_logits.astype(jnp.float32))
+            mask = (mask >= cfg.rough_char_mask_positive_thr).astype(jnp.uint8)
+            height = height.astype(jnp.float32)
+            fh, fw = mask.shape
+            ok = ((jnp.arange(fh) < valid_h)[:, None]) & (
+                (jnp.arange(fw) < valid_w)[None, :]
+            )
+            mask = jnp.where(ok, mask, 0)
+            height = jnp.where(ok, height, 0.0)
+            height = jnp.where(
+                height < cfg.rough_valid_char_height_min, 0.0, height
+            )
+            return mask, height
+
+        self._rough_cache[key] = fn
+        return fn
+
+    def rough_infer_tiled(self, image: np.ndarray) -> RoughInferResult:
+        """Full-resolution tiled rough pass for large scans (BASELINE
+        config 3) — no short-side-720 downsample; overlapping static tiles
+        batched through forward_rough and stitched on-device."""
+        cfg = self.config
+        h, w = image.shape[:2]
+        fdf = 4 // cfg.rough_head_upsampling_factor
+        tile = cfg.tiled_rough_tile_size
+        ph = max(tile, math.ceil(h / fdf) * fdf)
+        pw = max(tile, math.ceil(w / fdf) * fdf)
+        fn = self._tiled_rough_fn((h, w), (ph, pw))
+        mask, height = fn(self.params, jnp.asarray(image))
+        return RoughInferResult(
+            resized_shape=(math.ceil(h / fdf), math.ceil(w / fdf)),
+            resized_image_shape=(h, w),
+            padded_image_shape=(ph, pw),
             rough_char_mask=np.asarray(mask),
             rough_char_height_score_map=np.asarray(height),
         )
@@ -276,16 +388,16 @@ class AdaptiveScalingInference:
                 h, w = in_hw
                 if (ph, pw) != (h, w):
                     x = jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
-                prob_logits, offset, angle_logits, distance = model.apply(
-                    {"params": params}, x, method=model.forward_precise
+                prob_logits, offset, angle_logits, distance = self._forward(
+                    params, x, "precise"
                 )
-            prob = jax.nn.sigmoid(prob_logits[0, :, :, 0])
+            prob = jax.nn.sigmoid(prob_logits[0, :, :, 0].astype(jnp.float32))
             fh, fw = prob.shape
             row_ok = (jnp.arange(fh) < valid_h)[:, None]
             col_ok = (jnp.arange(fw) < valid_w)[None, :]
             ok = row_ok & col_ok
             prob = jnp.where(ok, prob, 0.0)
-            angles = jax.nn.softmax(angle_logits[0], axis=-1)
+            angles = jax.nn.softmax(angle_logits[0].astype(jnp.float32), axis=-1)
             # On-device peak picking (reference host scipy :480-491).
             local_max = _max_filter_same(
                 prob, cfg.precise_build_polygons_maximum_filter_size
@@ -294,7 +406,13 @@ class AdaptiveScalingInference:
                 (prob == local_max)
                 & (prob >= cfg.precise_build_polygons_positive_char_prob_thr)
             ).astype(jnp.uint8)
-            return prob, peaks, offset[0], angles, distance[0]
+            return (
+                prob,
+                peaks,
+                offset[0].astype(jnp.float32),
+                angles,
+                distance[0],
+            )
 
         self._precise_cache[key] = fn
         return fn
@@ -433,11 +551,18 @@ class AdaptiveScalingInference:
 
     # -------------------------------------------------------------- end-to-end
 
-    def detect(self, image: np.ndarray) -> Dict[str, Any]:
+    def detect(self, image: np.ndarray, tiled: Optional[bool] = None) -> Dict[str, Any]:
         """Full two-stage pipeline: page image -> char polygons in page
         coords (the reference demo chain, experiment/adaptive_scaling/
-        demo.py:178-220)."""
-        rough = self.rough_infer(image)
+        demo.py:178-220). ``tiled=True`` (or auto via
+        config.tiled_rough_long_side_min) runs the rough pass at full
+        resolution over overlapping tiles instead of downsampling."""
+        if tiled is None:
+            tiled = (
+                self.config.tiled_rough_long_side_min is not None
+                and max(image.shape[:2]) >= self.config.tiled_rough_long_side_min
+            )
+        rough = self.rough_infer_tiled(image) if tiled else self.rough_infer(image)
         regions = self.build_flattened_text_regions(image, rough)
         stacked, boxes = self.stack_flattened_text_regions(regions)
         precise = self.precise_infer(stacked)

@@ -176,6 +176,33 @@ class AdaptiveScaling(nn.Module):
         )
         return prob_logits, offset, angle_logits, distance
 
+    def forward_rough_from_features(
+        self, features: Tuple[jax.Array, ...]
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Rough neck + heads on precomputed backbone features — lets the
+        inference engine swap in the Pallas-fused backbone
+        (adascale.ops.pallas.convnext_forward_pallas) while sharing one
+        param tree."""
+        neck = self.rough_neck(list(features))
+        mask_logits = self.rough_char_mask_head(neck)
+        height = jax.nn.softplus(
+            self.rough_char_height_head(neck).astype(jnp.float32)
+        )
+        return mask_logits, height
+
+    def forward_precise_from_features(
+        self, features: Tuple[jax.Array, ...]
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Precise neck + heads on precomputed backbone features."""
+        neck = self.precise_neck(list(features))
+        prob_logits = self.precise_char_prob_head(neck)
+        offset = self.precise_char_up_left_corner_offset_head(neck)
+        angle_logits = self.precise_char_corner_angle_head(neck)
+        distance = jax.nn.softplus(
+            self.precise_char_corner_distance_head(neck).astype(jnp.float32)
+        )
+        return prob_logits, offset, angle_logits, distance
+
     def forward_precise_with_mask(
         self, x: jax.Array, deterministic: bool = True
     ) -> Tuple[jax.Array, ...]:

@@ -66,6 +66,12 @@ class EpochConfig:
     avg_num_batches: int = 50
     enable_overfit_testing: bool = False
     enable_multitask_gradiant_inspection: bool = False
+    # Tracing/profiling (SURVEY.md §5: the reference only has manual
+    # torch.autograd profiling in tests; here the main path is hookable):
+    # >0 traces that many leading batches of epoch 0 into
+    # <output_folder>/profile with jax.profiler (view in TensorBoard /
+    # xprof), and every batch gets a StepTraceAnnotation.
+    profile_num_batches: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -276,8 +282,25 @@ def train(
                 rough_b = shard_batch(rough_b, mesh)
                 precise_b = shard_batch(precise_b, mesh)
 
+            if (
+                epoch_config.profile_num_batches > 0
+                and epoch_idx == 0
+                and batch_idx == 1
+            ):
+                jax.profiler.start_trace(os.path.join(out_fd, "profile"))
             key, step_key = jax.random.split(key)
-            state, step_metrics = train_step(state, step_key, rough_b, precise_b)
+            with jax.profiler.StepTraceAnnotation(
+                "train", step_num=epoch_idx * epoch_config.train_num_batches + batch_idx
+            ):
+                state, step_metrics = train_step(state, step_key, rough_b, precise_b)
+            if (
+                epoch_config.profile_num_batches > 0
+                and epoch_idx == 0
+                and batch_idx == epoch_config.profile_num_batches
+            ):
+                jax.tree.map(lambda x: x.block_until_ready(), state.params)
+                jax.profiler.stop_trace()
+                logger.info("profiler trace -> %s", os.path.join(out_fd, "profile"))
             rough_avg = metrics.update(
                 "train_rough_loss", float(step_metrics["rough_loss"])
             )
