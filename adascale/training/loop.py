@@ -191,6 +191,23 @@ def train(
     )
 
     def build_train_dataset(steps_json, rng_seed):
+        if epoch_config.enable_overfit_testing:
+            # Overfit testing (reference train.py:263-275): train on the DEV
+            # pipeline with the rng resetting every dev_num_samples samples,
+            # so the model sees the same small fixed set forever.
+            return AdaptiveScalingIterableDataset(
+                AdaptiveScalingDatasetConfig(
+                    steps_json=dataset_config.dev_adaptive_scaling_dataset_steps_json,
+                    num_page_char_regression_labels=(
+                        epoch_config.num_page_char_regression_labels
+                    ),
+                    num_samples=train_num_samples,
+                    num_samples_reset_rng=dev_num_samples,
+                    rng_seed=epoch_config.dev_rng_seed,
+                    num_processes=epoch_config.train_num_processes,
+                    num_cached_runs=max(1, epoch_config.train_num_processes) * 3,
+                )
+            )
         return AdaptiveScalingIterableDataset(
             AdaptiveScalingDatasetConfig(
                 steps_json=steps_json,

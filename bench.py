@@ -1,26 +1,34 @@
-"""Headline benchmark: 1280px whole-page rough-pass throughput (pages/s/chip).
+"""Benchmarks over the BASELINE.json configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default (no args) prints ONE JSON line for the headline metric —
+1280px whole-page rough-pass throughput (pages/s/chip):
+{"metric", "value", "unit", "vs_baseline"}.
+
+``python bench.py --config N`` (N in 1..5) benches the other BASELINE
+configs, one JSON line each:
+  1  tiny/FPN single 640x640 page rough forward
+  2  small/UPerNeXt 1024px batch-8 forward (PPM + multi-scale fusion)
+  3  tiled whole-page: 2048px scan, overlapping 768px tiles, on-device stitch
+  4  single two-task train step (grad + clip + AdamW), batch 4 @ 512px
+  5  data-parallel train step over an 8-device mesh (needs 8 devices;
+     run on CPU with XLA_FLAGS=--xla_force_host_platform_device_count=8)
 
 Baseline (BASELINE.md): the PyTorch reference, TorchScript TINY/FPN
-``forward_rough`` on a 1280x1280 page, CPU fp32 = 0.044 pages/s. The
-driver-set north star is >=8x that on one TPU v5e chip.
+``forward_rough``, CPU fp32 — 0.044 pages/s @1280px, 0.235 pages/s @640px.
+The driver-set north star is >=8x @1280 on one TPU v5e chip.
 
-Measured path: flagship AdaptiveScaling TINY/FPN rough forward (backbone +
-FPN neck + mask/height heads), bfloat16 compute / fp32 params — the dtype
-policy the inference engine uses on TPU.
-
-Methodology notes (this sandbox): the TPU is reached through a tunnel whose
-RPC latency dwarfs kernel time and whose ``block_until_ready`` does not
-actually synchronize, so the benchmark chains ITERS forwards inside ONE
-jitted ``lax.scan`` with a value-level data dependency between iterations
-(XLA cannot elide or overlap them) and synchronizes once via a scalar host
-fetch. Input lives on device (no H2D in the timed region).
+Methodology (this sandbox): the TPU is reached through a tunnel whose RPC
+latency dwarfs kernel time and whose ``block_until_ready`` does not
+actually synchronize, so every bench chains ITERS steps inside ONE jitted
+``lax.scan`` with a value-level data dependency between iterations (XLA
+cannot elide or overlap them) and synchronizes once via a scalar host
+fetch. Inputs are generated on device (no H2D in the timed region).
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -33,13 +41,51 @@ os.makedirs(os.path.expanduser("~/.cache/jax_comp_cache"), exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BASELINE_PAGES_PER_S = 0.044  # torch-CPU forward_rough @1280 (BASELINE.md)
-RES = 1280
-BATCH = 4
+BASELINE_1280 = 0.044  # torch-CPU forward_rough @1280 (BASELINE.md)
+BASELINE_640 = 0.235  # torch-CPU forward_rough @640 (BASELINE.md)
 ITERS = 20
 
 
-def main() -> None:
+def _chained(forward, iters=ITERS):
+    """One jitted program running `iters` sequential forwards with a
+    value-level dependency; returns a scalar (host fetch = true sync)."""
+
+    @jax.jit
+    def f(p, x):
+        def body(img, _):
+            out = forward(p, img)
+            lead = jax.tree.leaves(out)[0]
+            fb = (lead.astype(jnp.float32).mean() * 0.0).astype(img.dtype)
+            return img + fb, lead.astype(jnp.float32).mean()
+
+        _, means = jax.lax.scan(body, x, None, length=iters)
+        return means.mean()
+
+    return f
+
+
+def _time_chained(f, p, x, iters=ITERS):
+    v = float(f(p, x))  # compile + warmup
+    assert np.isfinite(v), v
+    t0 = time.perf_counter()
+    float(f(p, x))
+    return (time.perf_counter() - t0) / iters
+
+
+def _emit(metric, value, unit, baseline=None):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 4),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 2) if baseline else None,
+            }
+        )
+    )
+
+
+def _build(size, neck, dtype):
     from adascale.models import (
         AdaptiveScaling,
         AdaptiveScalingConfig,
@@ -47,70 +93,176 @@ def main() -> None:
         AdaptiveScalingSize,
     )
 
-    platform = jax.default_backend()
-    dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
     model = AdaptiveScaling(
         config=AdaptiveScalingConfig(
-            size=AdaptiveScalingSize.TINY,
-            neck_head_type=AdaptiveScalingNeckHeadType.FPN,
+            size=AdaptiveScalingSize(size),
+            neck_head_type=AdaptiveScalingNeckHeadType(neck),
         ),
         dtype=dtype,
     )
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    return model, params
 
-    if platform == "tpu":
-        # Fused Pallas ConvNeXt blocks (+~8% over plain XLA at this shape).
+
+def _rough_forward(model, size, dtype, use_pallas):
+    if use_pallas:
         from adascale.models.convnext import CONVNEXT_PRESETS
         from adascale.ops.pallas import convnext_forward_pallas
 
-        spec = CONVNEXT_PRESETS["tiny"]
+        spec = CONVNEXT_PRESETS[size]
 
         def forward(p, x):
             feats = convnext_forward_pallas(p["backbone"], x.astype(dtype), spec)
             return model.apply(
                 {"params": p}, tuple(feats), method=model.forward_rough_from_features
             )
-    else:
 
-        def forward(p, x):
-            return model.apply({"params": p}, x, True, method=model.forward_rough)
+        return forward
 
-    @jax.jit
-    def chained(p, x):
-        def body(img, _):
-            mask_logits, height = forward(p, img)
-            # Value-level dependency: the next input depends on this output,
-            # so the scan body cannot be deduplicated or reordered. The
-            # perturbation is exactly 0 at runtime but opaque to XLA.
-            feedback = (mask_logits.astype(jnp.float32).mean() * 0.0).astype(x.dtype)
-            return img + feedback, mask_logits.astype(jnp.float32).mean()
-        img, means = jax.lax.scan(body, x, None, length=ITERS)
-        return means.mean()
+    def forward(p, x):
+        return model.apply({"params": p}, x, True, method=model.forward_rough)
 
-    @jax.jit
-    def make_input(key):
-        return jax.random.uniform(key, (BATCH, RES, RES, 3), jnp.float32)
+    return forward
 
-    x = make_input(jax.random.PRNGKey(1))
-    # Warmup / compile (also proves the result is finite & real).
-    v = float(chained(params, x))
-    assert np.isfinite(v), v
 
-    t0 = time.perf_counter()
-    v = float(chained(params, x))  # scalar host fetch = true sync
-    dt = time.perf_counter() - t0
+def _make_input(batch, res):
+    return jax.jit(
+        lambda k: jax.random.uniform(k, (batch, res, res, 3), jnp.float32),
+        static_argnums=(),
+    )(jax.random.PRNGKey(1))
 
-    pages_per_s = BATCH * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"rough_forward_{RES}px_pages_per_sec_per_chip",
-                "value": round(pages_per_s, 4),
-                "unit": "pages/s",
-                "vs_baseline": round(pages_per_s / BASELINE_PAGES_PER_S, 2),
-            }
+
+def bench_rough(res, batch, size="tiny", neck="fpn", baseline=None, tag=None):
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model, params = _build(size, neck, dtype)
+    forward = _rough_forward(model, size, dtype, use_pallas=on_tpu and neck == "fpn")
+    f = _chained(forward)
+    x = _make_input(batch, res)
+    dt = _time_chained(f, params, x)
+    _emit(
+        tag or f"rough_forward_{res}px_pages_per_sec_per_chip",
+        batch / dt,
+        "pages/s",
+        baseline,
+    )
+
+
+def bench_tiled_2048():
+    """BASELINE config 3: 2048px scan, tiled rough pass, on-device stitch."""
+    from adascale.inference.tiled import tiled_rough_forward
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model, params = _build("tiny", "fpn", dtype)
+    forward_b = _rough_forward(model, "tiny", dtype, use_pallas=on_tpu)
+
+    def forward(p, x):  # x: (1, 2048, 2048, 3) -> stitched maps
+        return tiled_rough_forward(
+            lambda t: forward_b(p, t), x[0], tile=768, overlap=128, fdf=2
+        )
+
+    f = _chained(forward, iters=4)
+    x = _make_input(1, 2048)
+    dt = _time_chained(f, params, x, iters=4)
+    _emit("tiled_rough_2048px_pages_per_sec_per_chip", 1.0 / dt, "pages/s")
+
+
+def bench_train_step(n_devices=1):
+    """BASELINE configs 4/5: two-task train step (batch 4 @ 512px), single
+    device or sharded over an n-device data mesh."""
+    from adascale.losses import CoreBox
+    from adascale.models import (
+        AdaptiveScaling,
+        AdaptiveScalingConfig,
+        AdaptiveScalingNeckHeadType,
+        AdaptiveScalingSize,
+    )
+    from adascale.parallel import create_mesh, replicate, shard_batch
+    from adascale.training import (
+        OptimizerConfig,
+        TrainStepConfig,
+        build_optimizer,
+        make_train_step,
+    )
+    from adascale.training.train_step import TrainState
+
+    hw, b, p = 512, 4 * n_devices, 200
+    fh = hw // 2
+    model = AdaptiveScaling(
+        config=AdaptiveScalingConfig(
+            size=AdaptiveScalingSize.TINY,
+            neck_head_type=AdaptiveScalingNeckHeadType.FPN,
         )
     )
+    rng = np.random.default_rng(0)
+    rough = {
+        "image": rng.uniform(0, 255, (b, hw, hw, 3)).astype(np.float32),
+        "downsampled_mask": (rng.uniform(size=(b, fh, fh)) > 0.5).astype(np.float32),
+        "downsampled_score_map": rng.uniform(0, 10, (b, fh, fh)).astype(np.float32),
+    }
+    precise = {
+        "image": rng.uniform(0, 255, (b, hw, hw, 3)).astype(np.float32),
+        "downsampled_mask": (rng.uniform(size=(b, fh, fh)) > 0.5).astype(np.float32),
+        "downsampled_score_map": rng.uniform(0, 1, (b, fh, fh)).astype(np.float32),
+        "downsampled_label_point_y": rng.integers(0, fh, (b, p)),
+        "downsampled_label_point_x": rng.integers(0, fh, (b, p)),
+        "up_left_offsets": rng.uniform(-4, 4, (b, p, 2)).astype(np.float32),
+        "corner_angles": rng.dirichlet(np.ones(4), size=(b, p)).astype(np.float32),
+        "corner_distances": rng.uniform(0, 10, (b, p, 3)).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=1000)
+    state = TrainState(params=params, opt_state=tx.init(params))
+    box = CoreBox(0, fh - 1, 0, fh - 1)
+    config = TrainStepConfig(rough_core_box=box, precise_core_box=box)
+
+    mesh = None
+    if n_devices > 1:
+        if len(jax.devices()) < n_devices:
+            _emit(f"train_step_dp{n_devices}", float("nan"), "steps/s")
+            return
+        mesh = create_mesh(jax.devices()[:n_devices])
+        state = replicate(state, mesh)
+        rough = shard_batch(rough, mesh)
+        precise = shard_batch(precise, mesh)
+    step = make_train_step(model, tx, config, mesh=mesh, donate=False)
+
+    # Warmup/compile, then time N sequential steps (each step's output state
+    # feeds the next — a real dependency chain, no scan tricks needed).
+    state2, m = step(state, key, rough, precise)
+    float(m["rough_loss"])
+    iters = 5
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(iters):
+        s, m = step(s, key, rough, precise)
+    float(m["rough_loss"]) ; float(m["precise_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    tag = "train_step_batch4_512px" if n_devices == 1 else f"train_step_dp{n_devices}"
+    _emit(tag, 1.0 / dt, "steps/s")
+
+
+def main() -> None:
+    cfg = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--config":
+        cfg = int(sys.argv[2])
+    if cfg is None:
+        bench_rough(1280, 4, baseline=BASELINE_1280)
+    elif cfg == 1:
+        bench_rough(640, 1, baseline=BASELINE_640, tag="rough_forward_640px_single_page")
+    elif cfg == 2:
+        bench_rough(1024, 8, size="small", neck="upernext",
+                    tag="upernext_small_1024px_batch8")
+    elif cfg == 3:
+        bench_tiled_2048()
+    elif cfg == 4:
+        bench_train_step(1)
+    elif cfg == 5:
+        bench_train_step(8)
+    else:
+        raise SystemExit(f"unknown config {cfg}")
 
 
 if __name__ == "__main__":

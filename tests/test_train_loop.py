@@ -109,6 +109,25 @@ def test_train_loop_end_to_end(tmp_path):
     assert "char_polygons" in result
 
 
+def test_train_loop_overfit_mode(tmp_path):
+    """Overfit testing (reference train.py:263-275): trains on the dev
+    pipeline with rng reset every dev_num_samples, no dev eval."""
+    dataset_json, epoch_json, model_json = _write_configs(tmp_path)
+    epoch = json.loads((tmp_path / "epoch.json").read_text())
+    epoch.update({"enable_overfit_testing": True, "train_num_batches": 2})
+    (tmp_path / "epoch_overfit.json").write_text(json.dumps(epoch))
+    out = tmp_path / "run_overfit"
+    metrics = train(
+        dataset_config_json=str(dataset_json),
+        output_folder=str(out),
+        epoch_config_json=str(tmp_path / "epoch_overfit.json"),
+        model_config_json=str(model_json),
+    )
+    # No dev eval in overfit mode -> no dev metrics.
+    assert "dev_loss" not in metrics
+    assert (out / "log.txt").exists()
+
+
 def test_demo_writes_visualizations(tmp_path):
     import jax
     import jax.numpy as jnp
