@@ -50,7 +50,6 @@ def _cmd_demo(args):
 
 def _cmd_detect(args):
     import cv2
-    import numpy as np
 
     from .inference import AdaptiveScalingInference, AdaptiveScalingInferenceConfig
     from .models import AdaptiveScalingConfig

@@ -4,6 +4,7 @@ from .engine import (  # noqa: F401
     RoughInferResult,
     PreciseInferResult,
 )
+from .batch import BatchedAdaptiveScalingInference  # noqa: F401
 from .flatten import (  # noqa: F401
     TextRegionFlattener,
     FlattenedTextRegion,

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -38,7 +37,6 @@ from ..data.geometry import (
 from ..models import AdaptiveScaling, AdaptiveScalingConfig
 from ..models.adaptive_scaling import AdaptiveScalingSize
 from ..models.convnext import CONVNEXT_PRESETS
-from ..utils.config import load_config
 from .flatten import (
     FlattenedTextRegion,
     TextRegionFlattener,

@@ -221,7 +221,12 @@ class AdaptiveScaling(nn.Module):
         return mask_logits, prob_logits, offset, angle_logits, distance
 
     def __call__(self, x: jax.Array, deterministic: bool = True):
-        """Default apply: both passes (used for init)."""
+        """Default apply: both passes (used for init — must touch every
+        head so their params materialize, including the optional precise
+        char-mask head)."""
         rough = self.forward_rough(x, deterministic)
-        precise = self.forward_precise(x, deterministic)
+        if self.config.precise_enable_char_mask_head:
+            precise = self.forward_precise_with_mask(x, deterministic)
+        else:
+            precise = self.forward_precise(x, deterministic)
         return rough, precise

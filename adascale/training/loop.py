@@ -72,6 +72,9 @@ class EpochConfig:
     # <output_folder>/profile with jax.profiler (view in TensorBoard /
     # xprof), and every batch gets a StepTraceAnnotation.
     profile_num_batches: int = 0
+    # jax.checkpoint rematerialization in the train step (more FLOPs,
+    # much less activation memory -> larger per-chip batches).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -240,11 +243,17 @@ def train(
         precise_loss=precise_loss_config,
         rough_core_box=rough_core,
         precise_core_box=precise_core,
+        remat=epoch_config.remat,
     )
 
     mesh = create_mesh() if use_mesh else None
     train_step = make_train_step(model, tx, step_config, mesh=mesh, donate=False)
     eval_step = make_eval_step(model, step_config, mesh=mesh)
+    grad_inspect = None
+    if epoch_config.enable_multitask_gradiant_inspection:
+        from .train_step import make_grad_inspection_fn
+
+        grad_inspect = make_grad_inspection_fn(model, step_config)
     if mesh is not None:
         state = replicate(state, mesh)
 
@@ -318,6 +327,18 @@ def train(
                 jax.tree.map(lambda x: x.block_until_ready(), state.params)
                 jax.profiler.stop_trace()
                 logger.info("profiler trace -> %s", os.path.join(out_fd, "profile"))
+            if grad_inspect is not None:
+                # Per-task gradient stats over shared params (reference
+                # train.py:420-422,458-466 + model debug classmethods).
+                gi = grad_inspect(state.params, step_key, rough_b, precise_b)
+                logger.info(
+                    "grad inspection: rough |g| mean=%.3e std=%.3e, "
+                    "precise |g| mean=%.3e std=%.3e",
+                    float(gi["rough_abs_grads_mean"]),
+                    float(gi["rough_abs_grads_std"]),
+                    float(gi["precise_abs_grads_mean"]),
+                    float(gi["precise_abs_grads_std"]),
+                )
             rough_avg = metrics.update(
                 "train_rough_loss", float(step_metrics["rough_loss"])
             )

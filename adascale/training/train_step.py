@@ -51,6 +51,10 @@ class TrainStepConfig:
     precise_loss: AdaptiveScalingPreciseLossConfig = AdaptiveScalingPreciseLossConfig()
     rough_core_box: CoreBox = CoreBox(0, 0, 0, 0)
     precise_core_box: CoreBox = CoreBox(0, 0, 0, 0)
+    # Rematerialization: recompute each forward during backward instead of
+    # saving activations (jax.checkpoint) — trades ~1/3 more FLOPs for a
+    # large activation-memory cut, enabling bigger per-chip batches.
+    remat: bool = False
 
 
 def _two_task_loss(
@@ -64,13 +68,18 @@ def _two_task_loss(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     rough_rng, precise_rng = jax.random.split(rng)
 
-    mask_feat, height_feat = model.apply(
-        {"params": params},
-        rough_batch["image"],
-        deterministic,
-        rngs=None if deterministic else {"drop_path": rough_rng},
-        method=model.forward_rough,
-    )
+    def rough_fwd(p, image, fwd_rng):
+        return model.apply(
+            {"params": p},
+            image,
+            deterministic,
+            rngs=None if deterministic else {"drop_path": fwd_rng},
+            method=model.forward_rough,
+        )
+
+    if config.remat:
+        rough_fwd = jax.checkpoint(rough_fwd)
+    mask_feat, height_feat = rough_fwd(params, rough_batch["image"], rough_rng)
     r_loss = (
         rough_loss(
             mask_feat,
@@ -83,13 +92,29 @@ def _two_task_loss(
         / 2.0
     )
 
-    prob, offset, angle, distance = model.apply(
-        {"params": params},
-        precise_batch["image"],
-        deterministic,
-        rngs=None if deterministic else {"drop_path": precise_rng},
-        method=model.forward_precise,
-    )
+    enable_mask_head = model.config.precise_enable_char_mask_head
+
+    def precise_fwd(p, image, fwd_rng):
+        return model.apply(
+            {"params": p},
+            image,
+            deterministic,
+            rngs=None if deterministic else {"drop_path": fwd_rng},
+            method=(
+                model.forward_precise_with_mask
+                if enable_mask_head
+                else model.forward_precise
+            ),
+        )
+
+    if config.remat:
+        precise_fwd = jax.checkpoint(precise_fwd)
+    precise_out = precise_fwd(params, precise_batch["image"], precise_rng)
+    if enable_mask_head:
+        precise_mask_logits, prob, offset, angle, distance = precise_out
+    else:
+        precise_mask_logits = None
+        prob, offset, angle, distance = precise_out
     p_loss = (
         precise_loss(
             prob,
@@ -105,6 +130,7 @@ def _two_task_loss(
             precise_batch["corner_angles"],
             precise_batch["corner_distances"],
             config.precise_loss,
+            precise_char_mask_feature=precise_mask_logits,
         )
         / 2.0
     )

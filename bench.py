@@ -44,6 +44,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_1280 = 0.044  # torch-CPU forward_rough @1280 (BASELINE.md)
 BASELINE_640 = 0.235  # torch-CPU forward_rough @640 (BASELINE.md)
 ITERS = 20
+HEADLINE_BATCH = 16  # throughput-optimal on v5e (sweep: B=4 36.7, B=8 48.1, B=16 50.7 pages/s)
 
 
 def _chained(forward, iters=ITERS):
@@ -168,9 +169,9 @@ def bench_tiled_2048():
     _emit("tiled_rough_2048px_pages_per_sec_per_chip", 1.0 / dt, "pages/s")
 
 
-def bench_train_step(n_devices=1):
-    """BASELINE configs 4/5: two-task train step (batch 4 @ 512px), single
-    device or sharded over an n-device data mesh."""
+def bench_train_step(n_devices=1, hw=512, per_device_batch=4, iters=5, micro=False):
+    """BASELINE configs 4/5: two-task train step, single device or sharded
+    over an n-device data mesh."""
     from adascale.losses import CoreBox
     from adascale.models import (
         AdaptiveScaling,
@@ -187,12 +188,15 @@ def bench_train_step(n_devices=1):
     )
     from adascale.training.train_step import TrainState
 
-    hw, b, p = 512, 4 * n_devices, 200
+    b, p = per_device_batch * n_devices, 200
     fh = hw // 2
     model = AdaptiveScaling(
         config=AdaptiveScalingConfig(
             size=AdaptiveScalingSize.TINY,
             neck_head_type=AdaptiveScalingNeckHeadType.FPN,
+            custom_block_channels_and_num_layers=(
+                ((16, 1), (32, 1), (64, 1), (128, 1)) if micro else None
+            ),
         )
     )
     rng = np.random.default_rng(0)
@@ -220,10 +224,18 @@ def bench_train_step(n_devices=1):
 
     mesh = None
     if n_devices > 1:
-        if len(jax.devices()) < n_devices:
+        devices = jax.devices()
+        if len(devices) < n_devices:
+            # Fall back to virtual CPU devices (the axon TPU plugin ignores
+            # JAX_PLATFORMS, so ask the CPU backend explicitly).
+            try:
+                devices = jax.devices("cpu")
+            except RuntimeError:
+                devices = []
+        if len(devices) < n_devices:
             _emit(f"train_step_dp{n_devices}", float("nan"), "steps/s")
             return
-        mesh = create_mesh(jax.devices()[:n_devices])
+        mesh = create_mesh(devices[:n_devices])
         state = replicate(state, mesh)
         rough = shard_batch(rough, mesh)
         precise = shard_batch(precise, mesh)
@@ -233,14 +245,17 @@ def bench_train_step(n_devices=1):
     # feeds the next — a real dependency chain, no scan tricks needed).
     state2, m = step(state, key, rough, precise)
     float(m["rough_loss"])
-    iters = 5
     t0 = time.perf_counter()
     s = state
     for _ in range(iters):
         s, m = step(s, key, rough, precise)
     float(m["rough_loss"]) ; float(m["precise_loss"])
     dt = (time.perf_counter() - t0) / iters
-    tag = "train_step_batch4_512px" if n_devices == 1 else f"train_step_dp{n_devices}"
+    tag = (
+        f"train_step_batch{b}_{hw}px"
+        if n_devices == 1
+        else f"train_step_dp{n_devices}_batch{b}_{hw}px"
+    )
     _emit(tag, 1.0 / dt, "steps/s")
 
 
@@ -249,7 +264,7 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--config":
         cfg = int(sys.argv[2])
     if cfg is None:
-        bench_rough(1280, 4, baseline=BASELINE_1280)
+        bench_rough(1280, HEADLINE_BATCH, baseline=BASELINE_1280)
     elif cfg == 1:
         bench_rough(640, 1, baseline=BASELINE_640, tag="rough_forward_640px_single_page")
     elif cfg == 2:
@@ -260,7 +275,13 @@ def main() -> None:
     elif cfg == 4:
         bench_train_step(1)
     elif cfg == 5:
-        bench_train_step(8)
+        # DP validation scale: on this sandbox the 8-device mesh is virtual
+        # CPU; keep shapes small (it validates sharding, not peak perf).
+        small = jax.default_backend() != "tpu" or len(jax.devices()) < 8
+        if small:
+            bench_train_step(8, hw=128, per_device_batch=1, iters=2, micro=True)
+        else:
+            bench_train_step(8)
     else:
         raise SystemExit(f"unknown config {cfg}")
 

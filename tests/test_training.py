@@ -96,6 +96,74 @@ def _step_config(hw=32):
     return TrainStepConfig(rough_core_box=box, precise_core_box=box)
 
 
+def test_train_step_with_precise_char_mask_head():
+    """Optional precise char-mask head + its focal loss term
+    (model config :46-48, loss config :136, both default-off)."""
+    from adascale.losses import AdaptiveScalingPreciseLossConfig
+
+    config = AdaptiveScalingConfig(
+        size=AdaptiveScalingSize.TINY,
+        neck_head_type=AdaptiveScalingNeckHeadType.FPN,
+        custom_block_channels_and_num_layers=((8, 1), (16, 1), (32, 1), (64, 1)),
+        precise_enable_char_mask_head=True,
+    )
+    model = AdaptiveScaling(config=config)
+    rough, precise = _micro_batches(np.random.default_rng(1), b=2)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    assert "precise_char_mask_head" in params
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+    state = TrainState(params=params, opt_state=tx.init(params))
+
+    fh = 16
+    box = CoreBox(0, fh - 1, 0, fh - 1)
+    step_config = TrainStepConfig(
+        precise_loss=AdaptiveScalingPreciseLossConfig(char_mask_focal_factor=1.0),
+        rough_core_box=box,
+        precise_core_box=box,
+    )
+    step = make_train_step(model, tx, step_config, donate=False)
+    state2, metrics = step(state, key, rough, precise)
+    assert np.isfinite(float(metrics["precise_loss"]))
+    # The mask head's params must receive gradient (they changed).
+    a = state.params["precise_char_mask_head"]
+    b = state2.params["precise_char_mask_head"]
+    diff = max(
+        float(jnp.abs(x - y).max()) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+    assert diff > 0
+
+
+def test_train_step_remat_matches():
+    """remat=True (jax.checkpoint) must produce identical metrics and
+    updates — it changes memory/FLOPs, never semantics."""
+    model = _micro_model()
+    rough, precise = _micro_batches(np.random.default_rng(2), b=2)
+    key = jax.random.PRNGKey(3)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+
+    results = []
+    for remat in (False, True):
+        import dataclasses as dc
+
+        cfg = dc.replace(_step_config(), remat=remat)
+        state = TrainState(params=params, opt_state=tx.init(params))
+        step = make_train_step(model, tx, cfg, donate=False)
+        state2, metrics = step(state, key, rough, precise)
+        results.append((state2, metrics))
+    (s_a, m_a), (s_b, m_b) = results
+    np.testing.assert_allclose(
+        float(m_a["rough_loss"]), float(m_b["rough_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_a["precise_loss"]), float(m_b["precise_loss"]), rtol=1e-6
+    )
+    # Recompute may reorder reductions -> tiny float drift through AdamW.
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_train_step_single_device():
     model = _micro_model()
     rng_np = np.random.default_rng(0)
