@@ -144,6 +144,24 @@ def crop_precise_sample(
     pipeline: SynthPipelineConfig,
     rng: np.random.Generator,
     rng_state: Mapping,
+    attempts: int = 8,
+) -> Optional[PreciseSample]:
+    """Sample a precise crop; retries a few (line, target-height, jitter)
+    draws before giving up — small crops at large rescale factors can miss
+    every char (the reference's pipeline has the same retry-on-empty
+    behavior one level up, dataset/adaptive_scaling.py:260-261)."""
+    for _ in range(attempts):
+        sample = _crop_precise_sample_once(page, pipeline, rng, rng_state)
+        if sample is not None:
+            return sample
+    return None
+
+
+def _crop_precise_sample_once(
+    page: SynthPage,
+    pipeline: SynthPipelineConfig,
+    rng: np.random.Generator,
+    rng_state: Mapping,
 ) -> Optional[PreciseSample]:
     if not page.lines:
         return None
@@ -363,7 +381,18 @@ class AdaptiveScalingIterableDataset:
             if not cached_rough or not cached_precise:
                 cached_rough.clear()
                 cached_precise.clear()
+            refill_rounds = 0
             while not cached_rough or not cached_precise:
+                refill_rounds += 1
+                if refill_rounds > 100:
+                    # The generator (e.g. a reset-rng cycle over a fixed run
+                    # set) keeps yielding nothing — fail loudly instead of
+                    # spinning (the reference logs-and-retries unboundedly,
+                    # dataset/adaptive_scaling.py:260-261).
+                    raise RuntimeError(
+                        "dataset refill produced no samples after 100 rounds; "
+                        "check the pipeline config (crop sizes vs char heights)"
+                    )
                 runs = self.config.num_cached_runs or 1
                 for _ in range(runs):
                     rough, precise = self.pool.run()

@@ -55,6 +55,16 @@ class SynthPageConfig:
     noise_sigma: float = 8.0
     ink_gray_max: int = 90
     gaussian_sigma_ratio: float = 0.25
+    # Document realism (the role of vkit's distortion/layout steps):
+    glyph_stroke_prob: float = 0.25  # fraction of chars drawn as random strokes
+    block_lines_max: int = 5  # lines per paragraph block (same height/angle)
+    line_spacing_min: float = 1.15
+    line_spacing_max: float = 1.7
+    perspective_prob: float = 0.3  # mild whole-page homography
+    perspective_max_ratio: float = 0.02  # corner jitter as a page-size fraction
+    ruled_line_prob: float = 0.3  # horizontal ruled lines (notebook paper)
+    table_prob: float = 0.15  # light table grid
+    vignette_prob: float = 0.4  # brightness gradient across the page
 
 
 @dataclasses.dataclass
@@ -94,9 +104,24 @@ class SynthPage:
     config: SynthPageConfig
 
 
-def _draw_glyph(image: np.ndarray, corners: np.ndarray, rng: np.random.Generator,
-                ink: int) -> None:
-    """Texture a char quad with a few strokes so it is not a flat box."""
+_GLYPH_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789?!&@#%$=+"
+)
+_GLYPH_FONTS = (
+    cv2.FONT_HERSHEY_SIMPLEX,
+    cv2.FONT_HERSHEY_DUPLEX,
+    cv2.FONT_HERSHEY_COMPLEX,
+    cv2.FONT_HERSHEY_TRIPLEX,
+    cv2.FONT_HERSHEY_PLAIN,
+    cv2.FONT_HERSHEY_SIMPLEX | cv2.FONT_ITALIC,
+)
+_TILE = 32  # glyphs are rasterized upright in a TILE x TILE patch
+
+
+def _draw_strokes(image: np.ndarray, corners: np.ndarray, rng: np.random.Generator,
+                  ink: int) -> None:
+    """Texture a char quad with a few strokes (non-letter marks: logos,
+    CJK-ish scribbles, symbols)."""
     ul, ur, dr, dl = corners
     num_strokes = int(rng.integers(2, 5))
     for _ in range(num_strokes):
@@ -111,13 +136,121 @@ def _draw_glyph(image: np.ndarray, corners: np.ndarray, rng: np.random.Generator
             (ink, ink, ink),
             thickness,
         )
-    cv2.polylines(
+    # Connect the strokes with a light diagonal so components stay joined.
+    cv2.line(
         image,
-        [np.round(corners).astype(np.int32)],
-        isClosed=True,
-        color=(ink, ink, ink),
-        thickness=1,
+        tuple(np.round(ul).astype(int)),
+        tuple(np.round(dr).astype(int)),
+        (ink, ink, ink),
+        1,
     )
+
+
+def _draw_glyph(image: np.ndarray, corners: np.ndarray, rng: np.random.Generator,
+                ink: int, stroke_prob: float = 0.25) -> None:
+    """Render a real (Hershey-font) glyph warped into the char quad; with
+    ``stroke_prob`` fall back to random strokes for mark variety."""
+    if rng.uniform() < stroke_prob:
+        _draw_strokes(image, corners, rng, ink)
+        return
+
+    glyph = _GLYPH_CHARS[int(rng.integers(0, len(_GLYPH_CHARS)))]
+    font = _GLYPH_FONTS[int(rng.integers(0, len(_GLYPH_FONTS)))]
+    thickness = int(rng.integers(1, 3))
+    tile = np.zeros((_TILE, _TILE), dtype=np.uint8)
+    try:
+        scale = cv2.getFontScaleFromHeight(font & 0xF, _TILE - 10, thickness)
+    except Exception:  # pragma: no cover - very old cv2
+        scale = 0.8
+    cv2.putText(
+        tile, glyph, (3, _TILE - 6), font, scale, 255, thickness, cv2.LINE_AA
+    )
+
+    # Warp the upright tile into the quad (ROI-local, cheap).
+    xs, ys = corners[:, 0], corners[:, 1]
+    x0 = max(0, int(math.floor(xs.min())))
+    y0 = max(0, int(math.floor(ys.min())))
+    x1 = min(image.shape[1], int(math.ceil(xs.max())) + 1)
+    y1 = min(image.shape[0], int(math.ceil(ys.max())) + 1)
+    if x1 - x0 < 2 or y1 - y0 < 2:
+        return
+    src = np.asarray(
+        [[0, 0], [_TILE, 0], [_TILE, _TILE], [0, _TILE]], dtype=np.float32
+    )
+    dst = (corners - np.asarray([[x0, y0]], dtype=np.float32)).astype(np.float32)
+    mat = cv2.getPerspectiveTransform(src, dst)
+    alpha = cv2.warpPerspective(
+        tile, mat, (x1 - x0, y1 - y0), flags=cv2.INTER_LINEAR
+    ).astype(np.float32) / 255.0
+    roi = image[y0:y1, x0:x1].astype(np.float32)
+    blended = roi * (1.0 - alpha[..., None]) + float(ink) * alpha[..., None]
+    image[y0:y1, x0:x1] = np.clip(blended, 0, 255).astype(np.uint8)
+
+
+def _draw_background_artifacts(
+    image: np.ndarray, config: SynthPageConfig, rng: np.random.Generator
+) -> None:
+    """Ruled lines / light table grids / vignette — document-texture
+    variety the detector must learn to ignore."""
+    h, w = image.shape[:2]
+    if rng.uniform() < config.vignette_prob:
+        gy = rng.uniform(-25, 25)
+        gx = rng.uniform(-25, 25)
+        ramp = (
+            np.linspace(0, 1, h, dtype=np.float32)[:, None] * gy
+            + np.linspace(0, 1, w, dtype=np.float32)[None, :] * gx
+        )
+        image[:] = np.clip(
+            image.astype(np.float32) + ramp[..., None], 0, 255
+        ).astype(np.uint8)
+    if rng.uniform() < config.ruled_line_prob:
+        gray = int(rng.integers(140, 210))
+        spacing = int(rng.integers(24, 64))
+        offset = int(rng.integers(0, spacing))
+        for y in range(offset, h, spacing):
+            cv2.line(image, (0, y), (w - 1, y), (gray, gray, gray), 1)
+    if rng.uniform() < config.table_prob:
+        gray = int(rng.integers(120, 190))
+        x0 = int(rng.integers(0, w // 2))
+        y0 = int(rng.integers(0, h // 2))
+        x1 = int(rng.integers(x0 + w // 4, w))
+        y1 = int(rng.integers(y0 + h // 4, h))
+        cols = int(rng.integers(2, 6))
+        rows = int(rng.integers(2, 6))
+        for i in range(cols + 1):
+            x = x0 + (x1 - x0) * i // cols
+            cv2.line(image, (x, y0), (x, y1), (gray, gray, gray), 1)
+        for j in range(rows + 1):
+            y = y0 + (y1 - y0) * j // rows
+            cv2.line(image, (x0, y), (x1, y), (gray, gray, gray), 1)
+
+
+def _apply_page_perspective(
+    image: np.ndarray,
+    chars: List[CharInstance],
+    config: SynthPageConfig,
+    rng: np.random.Generator,
+    bg: int,
+) -> np.ndarray:
+    """Mild whole-page homography: warps pixels and char corners
+    consistently (the role of vkit's page-distortion steps)."""
+    h, w = image.shape[:2]
+    j = config.perspective_max_ratio
+    src = np.asarray([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float32)
+    dst = src + rng.uniform(-j, j, size=(4, 2)).astype(np.float32) * np.asarray(
+        [[w, h]], dtype=np.float32
+    )
+    mat = cv2.getPerspectiveTransform(src, dst)
+    warped = cv2.warpPerspective(
+        image, mat, (w, h), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=(bg, bg, bg),
+    )
+    for char in chars:
+        pts = char.corners.reshape(1, 4, 2).astype(np.float32)
+        char.corners = cv2.perspectiveTransform(pts, mat)[0].astype(np.float32)
+        # Keep the height label consistent with the warped geometry.
+        char.height = float(np.linalg.norm(char.corners[3] - char.corners[0]))
+    return warped
 
 
 def generate_page(config: SynthPageConfig, rng: np.random.Generator) -> SynthPage:
@@ -126,12 +259,17 @@ def generate_page(config: SynthPageConfig, rng: np.random.Generator) -> SynthPag
     image = np.full((h, w, 3), bg, dtype=np.uint8)
     noise = rng.normal(0.0, config.noise_sigma, size=(h, w, 1))
     image = np.clip(image.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+    _draw_background_artifacts(image, config, rng)
 
     lines: List[TextLine] = []
     chars: List[CharInstance] = []
 
     num_lines = int(rng.integers(config.num_lines_min, config.num_lines_max + 1))
-    for _ in range(num_lines):
+    lines_left = num_lines
+    while lines_left > 0:
+        # One paragraph block: consistent char height / angle / ink, lines
+        # stacked along the block normal.
+        block_lines = int(rng.integers(1, min(config.block_lines_max, lines_left) + 1))
         ch = float(rng.uniform(config.char_height_min, config.char_height_max))
         angle = 0.0
         if rng.uniform() < config.line_rotate_prob:
@@ -140,35 +278,53 @@ def generate_page(config: SynthPageConfig, rng: np.random.Generator) -> SynthPag
         # y-down coords; positive angle rotates the line downwards to the right.
         direction = np.asarray([math.cos(rad), math.sin(rad)], dtype=np.float32)
         normal = np.asarray([-math.sin(rad), math.cos(rad)], dtype=np.float32)
+        spacing = ch * float(
+            rng.uniform(config.line_spacing_min, config.line_spacing_max)
+        )
+        ink = int(rng.integers(10, config.ink_gray_max))
 
         line_len = float(rng.uniform(0.3, 0.9)) * w
         x0 = float(rng.uniform(0, max(1.0, w - line_len)))
-        y0 = float(rng.uniform(ch + 4, h - ch - 4))
-        origin = np.asarray([x0, y0], dtype=np.float32)
+        # Blocks may start anywhere; lines that fall off-page are clipped by
+        # the per-char bounds check below.
+        y0 = float(rng.uniform(ch + 4, max(ch + 5.0, h - ch - 4)))
+        block_origin = np.asarray([x0, y0], dtype=np.float32)
 
-        line_chars: List[CharInstance] = []
-        cursor = 0.0
-        ink = int(rng.integers(10, config.ink_gray_max))
-        while cursor < line_len:
-            cw = ch * float(rng.uniform(config.char_aspect_min, config.char_aspect_max))
-            ul = origin + cursor * direction
-            ur = origin + (cursor + cw) * direction
-            dl = ul + ch * normal
-            dr = ur + ch * normal
-            corners = np.stack([ul, ur, dr, dl]).astype(np.float32)
-            cursor += cw * (1.0 + config.char_gap_ratio)
-            if (
-                corners[:, 0].min() < 0
-                or corners[:, 1].min() < 0
-                or corners[:, 0].max() >= w
-                or corners[:, 1].max() >= h
-            ):
-                continue
-            _draw_glyph(image, corners, rng, ink)
-            line_chars.append(CharInstance(corners=corners, height=ch))
-        if line_chars:
-            lines.append(TextLine(chars=line_chars, char_height=ch))
-            chars.extend(line_chars)
+        for line_idx in range(block_lines):
+            origin = block_origin + spacing * line_idx * normal
+            line_chars: List[CharInstance] = []
+            cursor = 0.0
+            while cursor < line_len:
+                cw = ch * float(rng.uniform(config.char_aspect_min, config.char_aspect_max))
+                ul = origin + cursor * direction
+                ur = origin + (cursor + cw) * direction
+                dl = ul + ch * normal
+                dr = ur + ch * normal
+                corners = np.stack([ul, ur, dr, dl]).astype(np.float32)
+                # Word gaps: occasionally skip a slot.
+                advance = cw * (1.0 + config.char_gap_ratio)
+                if rng.uniform() < 0.12:
+                    cursor += advance * float(rng.uniform(1.2, 2.2))
+                    continue
+                cursor += advance
+                if (
+                    corners[:, 0].min() < 0
+                    or corners[:, 1].min() < 0
+                    or corners[:, 0].max() >= w
+                    or corners[:, 1].max() >= h
+                ):
+                    continue
+                _draw_glyph(image, corners, rng, ink, config.glyph_stroke_prob)
+                line_chars.append(CharInstance(corners=corners, height=ch))
+            if line_chars:
+                lines.append(TextLine(chars=line_chars, char_height=ch))
+                chars.extend(line_chars)
+            lines_left -= 1
+            if lines_left <= 0:
+                break
+
+    if rng.uniform() < config.perspective_prob:
+        image = _apply_page_perspective(image, chars, config, rng, bg)
 
     return SynthPage(image=image, chars=chars, lines=lines, config=config)
 

@@ -102,18 +102,75 @@ class FpnNeck(nn.Module):
         return jnp.concatenate(outputs, axis=-1)
 
 
+class _Conv3x3Params(nn.Module):
+    """Raw 3x3 conv params with nn.Conv-compatible names/shapes, so the
+    phase-fused head shares one param tree with the naive path."""
+
+    features: int
+    kernel_init: Any = kaiming_normal_init
+
+    @nn.compact
+    def __call__(self, in_channels: int):
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, in_channels, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _PhaseFusedSmooth(nn.Module):
+    """nearest-x2-upsample -> conv3x3 -> LN -> GELU, computed as 4 low-res
+    phases (adascale.ops.fused_upsample — exact decomposition). Param tree
+    identical to ConvKxKBlock: {conv: {kernel, bias}, ln: {scale, bias}}."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> List[jax.Array]:
+        from ..ops.fused_upsample import phase_conv3x3_after_nearest2x
+
+        kernel, bias = _Conv3x3Params(self.out_channels, name="conv")(x.shape[-1])
+        phases = phase_conv3x3_after_nearest2x(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias
+        )
+        ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")
+        return [gelu_exact(ln(p)) for p in phases]
+
+
 class FpnHead(nn.Module):
-    """Prediction head (reference fpn.py:149-208)."""
+    """Prediction head (reference fpn.py:149-208).
+
+    For ``upsampling_factor == 2`` (the product default) the
+    upsample+smooth+project chain runs as 4 sub-pixel phases at LOW
+    resolution (0.44x the smoothing FLOPs, no upsampled intermediate in
+    HBM) and only the final out_channels tensor is interleaved to full
+    resolution — numerically identical to the naive path (parity-tested),
+    toggled by ``fuse_upsample``."""
 
     out_channels: int
     upsampling_factor: int = 1
     init_output_bias: float = 0.0
     dtype: Dtype = jnp.float32
+    fuse_upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_channels = x.shape[-1]
         inner = (in_channels + self.out_channels) // 2
+
+        if self.upsampling_factor == 2 and self.fuse_upsample:
+            from ..ops.fused_upsample import interleave_phases2x
+
+            phases = _PhaseFusedSmooth(inner, dtype=self.dtype, name="step1")(x)
+            dense = nn.Dense(
+                self.out_channels,
+                kernel_init=kaiming_normal_init,
+                bias_init=nn.initializers.constant(self.init_output_bias),
+                dtype=self.dtype,
+                name="step2",
+            )
+            return interleave_phases2x([dense(p) for p in phases])
 
         if self.upsampling_factor > 1:
             x = resize_nearest(

@@ -80,3 +80,27 @@ def test_fpn_parity_vs_torch_reference():
         np.transpose(thead_out.numpy(), (0, 2, 3, 1)),
         atol=2e-4, rtol=1e-4,
     )
+
+
+def test_fpn_head_fused_upsample_parity():
+    """The phase-fused x2 head must match the naive upsample->conv path
+    exactly (same param tree, same numerics up to float assoc)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adascale.models.fpn import FpnHead
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 20, 32), jnp.float32)
+    fused = FpnHead(out_channels=3, upsampling_factor=2, init_output_bias=0.5)
+    naive = FpnHead(
+        out_channels=3, upsampling_factor=2, init_output_bias=0.5, fuse_upsample=False
+    )
+    params = fused.init(jax.random.PRNGKey(1), x)["params"]
+    # One param tree drives both paths.
+    y_fused = fused.apply({"params": params}, x)
+    y_naive = naive.apply({"params": params}, x)
+    assert y_fused.shape == (2, 48, 40, 3)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_naive), atol=2e-5, rtol=2e-5
+    )
