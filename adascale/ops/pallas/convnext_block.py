@@ -110,10 +110,22 @@ def _kernel(
     h = h * ln_g[0][None, None, :] + ln_b[0][None, None, :]
 
     # MLP: (TH*W, Cp) @ (Cp, 4C) -> GELU(exact) -> @ (4C, Cp), f32 accum.
+    # The 4C hidden dim is processed in chunks so the intermediate stays
+    # small enough in VMEM to allow larger row tiles.
     h2 = h.reshape(th * w, cp).astype(up_w.dtype)
-    u = jnp.dot(h2, up_w[:], preferred_element_type=jnp.float32)
-    u = _gelu_exact(u + up_b[0][None, :])
-    y = jnp.dot(u.astype(down_w.dtype), down_w[:], preferred_element_type=jnp.float32)
+    hidden = up_w.shape[1]
+    n_chunks = 1
+    while (th * w * (hidden // n_chunks)) * 4 > 4 * 1024 * 1024:
+        n_chunks *= 2
+    chunk = hidden // n_chunks
+    y = jnp.zeros((th * w, cp), jnp.float32)
+    for k in range(n_chunks):
+        sl = slice(k * chunk, (k + 1) * chunk)
+        u = jnp.dot(h2, up_w[:, sl], preferred_element_type=jnp.float32)
+        u = _gelu_exact(u + up_b[0:1, sl])
+        y = y + jnp.dot(
+            u.astype(down_w.dtype), down_w[sl, :], preferred_element_type=jnp.float32
+        )
     y = (y + down_b[0][None, :]).reshape(th, w, cp)
 
     # Layer scale + residual.
@@ -123,6 +135,16 @@ def _kernel(
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+# Known-good VMEM working set: tile_h=8 at a (W+6)*Cp band of ~41.7k
+# elements (1280px stage0). tile_h scales down for wider bands so the
+# 3 double-buffered input bands + accumulators stay under the ~16MB VMEM.
+_BAND_BUDGET = 8 * 326 * 128
+
+
+def _auto_tile_h(w: int, cpad: int, requested: int) -> int:
+    return max(4, min(requested, _BAND_BUDGET // max(1, w * cpad)))
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
@@ -153,8 +175,9 @@ def fused_convnext_block(
     is exact.
     """
     b, h, w, c = x.shape
-    hp = pl.cdiv(h, tile_h) * tile_h
     cpad = _round_up(c, LANE)
+    tile_h = _auto_tile_h(w, cpad, tile_h)
+    hp = pl.cdiv(h, tile_h) * tile_h
     dc = cpad - c
     xpad = jnp.pad(x, ((0, 0), (0, hp - h), (HALO, HALO), (0, dc)))
 

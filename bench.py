@@ -137,7 +137,7 @@ def bench_rough(res, batch, size="tiny", neck="fpn", baseline=None, tag=None):
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model, params = _build(size, neck, dtype)
-    forward = _rough_forward(model, size, dtype, use_pallas=on_tpu and neck == "fpn")
+    forward = _rough_forward(model, size, dtype, use_pallas=on_tpu)
     f = _chained(forward)
     x = _make_input(batch, res)
     dt = _time_chained(f, params, x)
