@@ -1,4 +1,5 @@
 from .mesh import (  # noqa: F401
+    create_hybrid_mesh,
     create_mesh,
     batch_sharding,
     replicated_sharding,

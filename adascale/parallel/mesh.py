@@ -27,8 +27,31 @@ def create_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def create_hybrid_mesh(
+    num_slices: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    slice_axis: str = "dcn",
+    data_axis: str = "data",
+) -> Mesh:
+    """2-D (slice, data) mesh for multi-slice training: the outer axis
+    crosses slices over DCN, the inner axis rides ICI within a slice.
+    Gradient all-reduces decompose hierarchically (reduce within slice
+    over ICI first, then across slices over DCN) when batches are sharded
+    over BOTH axes — the standard multi-slice recipe. Single-slice setups
+    should keep the 1-D `create_mesh`."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % num_slices == 0, (n, num_slices)
+    grid = np.asarray(devices).reshape(num_slices, n // num_slices)
+    return Mesh(grid, (slice_axis, data_axis))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) axis; all other axes replicated."""
+    """Shard the leading (batch) axis; all other axes replicated. For a
+    hybrid mesh, shard over every mesh axis (slice outermost)."""
+    if len(mesh.axis_names) > 1:
+        return NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return NamedSharding(mesh, P(axis_name))
 
 

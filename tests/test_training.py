@@ -186,6 +186,38 @@ def test_train_step_single_device():
     assert np.isfinite(float(em["rough_loss"]))
 
 
+def test_train_step_hybrid_mesh_2x4():
+    """Multi-slice layout: (dcn=2, data=4) hybrid mesh — grad reduction
+    decomposes hierarchically; losses must match the plain single-device
+    step bit-for-bit-ish."""
+    from adascale.parallel import create_hybrid_mesh
+
+    cpus = jax.devices("cpu")
+    mesh = create_hybrid_mesh(2, cpus[:8])
+    assert mesh.axis_names == ("dcn", "data")
+
+    model = _micro_model()
+    rough, precise = _micro_batches(np.random.default_rng(3), b=8)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+    state = replicate(TrainState(params=params, opt_state=tx.init(params)), mesh)
+
+    step = make_train_step(model, tx, _step_config(), mesh=mesh, donate=False)
+    _, metrics = step(state, key, shard_batch(rough, mesh), shard_batch(precise, mesh))
+
+    plain = make_train_step(model, tx, _step_config(), donate=False)
+    _, metrics_plain = plain(
+        TrainState(params=params, opt_state=tx.init(params)), key, rough, precise
+    )
+    np.testing.assert_allclose(
+        float(metrics["rough_loss"]), float(metrics_plain["rough_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["precise_loss"]), float(metrics_plain["precise_loss"]), rtol=1e-5
+    )
+
+
 def test_train_step_data_parallel_8_devices():
     cpus = jax.devices("cpu")
     assert len(cpus) >= 8, "conftest should force 8 virtual CPU devices"
