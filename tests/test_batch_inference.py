@@ -69,6 +69,22 @@ def test_detect_many_matches_per_page():
         assert "char_polygons" in res
 
 
+def test_detect_many_with_blank_page():
+    """A page with no text (and hence no regions / empty stacked image)
+    must not break the batch path."""
+    from adascale.data.synth import SynthPageConfig, generate_page
+
+    engine = _engine()
+    blank = generate_page(
+        SynthPageConfig(page_height=192, page_width=192, num_lines_min=0, num_lines_max=0),
+        np.random.default_rng(9),
+    ).image
+    pages = [_pages()[0], blank]
+    results = BatchedAdaptiveScalingInference(engine).detect_many(pages)
+    assert len(results) == 2
+    assert isinstance(results[1]["char_polygons"], list)
+
+
 def test_detect_many_on_mesh():
     from adascale.parallel import create_mesh
 

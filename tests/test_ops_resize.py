@@ -115,3 +115,20 @@ def test_pad_to_divisible():
     assert float(y[0, 64, 0, 0]) == 1.0
     assert float(y[0, 65, 0, 0]) == 0.0
     assert float(y[0, 0, 33, 0]) == 0.0
+
+
+def test_compute_rough_shapes_edges():
+    """Shape-bucket policy edges (reference short-side-720 rule,
+    inferencing/adaptive_scaling.py:96-107)."""
+    from adascale.inference.preprocess import compute_rough_shapes
+
+    # Small page: no downsample, snapped up to the bucket.
+    (rh, rw), (ph, pw) = compute_rough_shapes(100, 130)
+    assert (rh, rw) == (100, 130) and ph % 64 == 0 and pw % 64 == 0
+    # Exactly 720 short side: not downsampled (rule is strict >).
+    (rh, rw), _ = compute_rough_shapes(720, 2000)
+    assert (rh, rw) == (720, 2000)
+    # Large page: short side scaled to 720, aspect preserved.
+    (rh, rw), (ph, pw) = compute_rough_shapes(1440, 2880)
+    assert rh == 720 and rw == 1440
+    assert ph >= rh and pw >= rw and ph % 32 == 0 and pw % 32 == 0
