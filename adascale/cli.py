@@ -64,7 +64,9 @@ def _cmd_detect(args):
         )
     )
     image = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
-    result = engine.detect(image, tiled=args.tiled or None)
+    # Tri-state: --tiled forces on, --no-tiled forces off, absent -> None
+    # lets config.tiled_rough_long_side_min auto-decide.
+    result = engine.detect(image, tiled=args.tiled)
     polygons = [p.points.tolist() for p in result["char_polygons"]]
     out = json.dumps({"num_chars": len(polygons), "char_polygons": polygons})
     if args.output:
@@ -122,7 +124,13 @@ def main(argv=None):
     p.add_argument("--output")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--pallas", action="store_true")
-    p.add_argument("--tiled", action="store_true")
+    p.add_argument(
+        "--tiled",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="force tiling on (--tiled) or off (--no-tiled); "
+        "default auto-decides from config",
+    )
     p.set_defaults(fn=_cmd_detect)
 
     p = sub.add_parser("stablehlo", help="checkpoint -> StableHLO artifacts")

@@ -58,6 +58,11 @@ class SynthPipelineConfig:
     precise_samples_per_page: int = 4
     precise_target_char_height_min: float = 22.0
     precise_target_char_height_max: float = 50.0
+    # Rebalance ~half the precise text-region crops into the rough stream
+    # (reference enable_transform_precise_to_rough,
+    # dataset/adaptive_scaling.py:106-128). Requires rough/precise crop
+    # sizes and core margins to match so the rough batch stays shape-static.
+    enable_transform_precise_to_rough: bool = False
 
 
 @dataclasses.dataclass
@@ -79,6 +84,10 @@ class PreciseSample:
     downsampled_score_map: np.ndarray  # gaussian heatmap, core-sized
     char_labels: Sequence[CharLabel]
     rng_state: Mapping
+    # Char-height map for this crop (core-sized), kept so the crop can be
+    # rebalanced into the rough stream, whose score map is a height map
+    # (reference dataset/adaptive_scaling.py:115-126).
+    downsampled_char_height_score_map: Optional[np.ndarray] = None
 
 
 # Backwards-friendly alias for the contract name used in docs/tests.
@@ -202,7 +211,7 @@ def _crop_precise_sample_once(
     if not chars:
         return None
 
-    mask, _, gaussian = render_char_labels(
+    mask, height_map, gaussian = render_char_labels(
         chars, (s, s), f, page.config.gaussian_sigma_ratio
     )
     dshape = (s // f, s // f)
@@ -224,6 +233,9 @@ def _crop_precise_sample_once(
         downsampled_score_map=core.extract(gaussian).astype(np.float32),
         char_labels=labels,
         rng_state=rng_state,
+        downsampled_char_height_score_map=core.extract(height_map).astype(
+            np.float32
+        ),
     )
 
 
@@ -247,6 +259,31 @@ def run_pipeline(
         sample = crop_precise_sample(page, pipeline, rng, rng_state)
         if sample is not None:
             precise.append(sample)
+
+    if pipeline.enable_transform_precise_to_rough and precise:
+        # Move ~half the text-region crops into the rough stream so the two
+        # streams end up balanced (reference dataset/adaptive_scaling.py:
+        # 106-128: shuffle, then move (n_p+n_r)//2 - n_r). Moved crops become
+        # RoughSamples with the char-HEIGHT map as their score map.
+        assert (
+            pipeline.rough_crop_size == pipeline.precise_crop_size
+            and pipeline.rough_core_margin == pipeline.precise_core_margin
+        ), "precise->rough rebalancing requires matching crop sizes/margins"
+        order = rng.permutation(len(precise))
+        precise = [precise[i] for i in order]
+        n_move = max(0, (len(precise) + len(rough)) // 2 - len(rough))
+        for p in precise[:n_move]:
+            rough.append(
+                RoughSample(
+                    image=p.image,
+                    downsampled_shape=p.downsampled_shape,
+                    downsampled_core_box=p.downsampled_core_box,
+                    downsampled_mask=p.downsampled_mask,
+                    downsampled_score_map=p.downsampled_char_height_score_map,
+                    rng_state=p.rng_state,
+                )
+            )
+        precise = precise[n_move:]
     return rough, precise
 
 
@@ -290,6 +327,12 @@ class GeneratorPool:
         if self.num_runs_reset_rng:
             idx = idx % self.num_runs_reset_rng
         return idx
+
+    def reset(self) -> None:
+        """Restart the deterministic run-index stream at 0 (drops any
+        in-flight pool submissions so the next run() replays run_idx=0)."""
+        self.run_idx = 0
+        self._pending.clear()
 
     def run(self) -> Tuple[List[RoughSample], List[PreciseSample]]:
         if self._pool is None:
@@ -336,17 +379,20 @@ class AdaptiveScalingIterableDataset:
         self.config = config
         self.pipeline = load_config(config.steps_json, SynthPipelineConfig)
 
-        num_runs_reset_rng = None
-        if config.num_samples_reset_rng:
-            num_runs_reset_rng = max(
-                1, config.num_samples_reset_rng // max(1, config.num_processes or 1)
-            )
+        # The rng reset is sample-counted, not run-counted: runs yield a
+        # variable number of samples (rough_samples_per_page rough, <=
+        # precise_samples_per_page precise), so the reference's
+        # num_samples_reset_rng // num_processes conversion
+        # (dataset/adaptive_scaling.py:177-178) has no equivalent here.
+        # Instead __iter__ counts yielded PAIRS and resets the pool's
+        # deterministic run stream every num_samples_reset_rng pairs, so
+        # overfit mode cycles a fixed set of exactly that many samples.
         self.pool = GeneratorPool(
             self.pipeline,
             rng_seed=config.rng_seed,
             num_processes=config.num_processes,
-            num_runs_reset_rng=num_runs_reset_rng,
         )
+        self._pairs_total = 0
         self.rng = default_rng(config.rng_seed)
 
         self.dev_rough_samples: List[RoughSample] = []
@@ -378,6 +424,14 @@ class AdaptiveScalingIterableDataset:
         cached_rough: List[RoughSample] = []
         cached_precise: List[PreciseSample] = []
         for _ in range(self.config.num_samples):
+            reset = self.config.num_samples_reset_rng
+            if reset and self._pairs_total % reset == 0:
+                # Start a new cycle over the same deterministic run set so
+                # the stream repeats a fixed set of exactly `reset` pairs
+                # (overfit mode, reference train.py:263-275).
+                self.pool.reset()
+                cached_rough.clear()
+                cached_precise.clear()
             if not cached_rough or not cached_precise:
                 cached_rough.clear()
                 cached_precise.clear()
@@ -405,6 +459,7 @@ class AdaptiveScalingIterableDataset:
             rough_sample = cached_rough.pop()
             precise_sample = cached_precise.pop()
             precise_sample.char_labels = self._resample_labels(precise_sample.char_labels)
+            self._pairs_total += 1
             yield rough_sample, precise_sample
 
 

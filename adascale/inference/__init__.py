@@ -10,3 +10,10 @@ from .flatten import (  # noqa: F401
     FlattenedTextRegion,
     stack_flattened_text_regions,
 )
+from .eval import (  # noqa: F401
+    DetectionMetrics,
+    evaluate_char_detection,
+    evaluate_rough_mask,
+    match_polygons,
+    polygon_iou,
+)

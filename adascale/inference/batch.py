@@ -107,13 +107,24 @@ class BatchedAdaptiveScalingInference:
 
     def detect_many(self, images: Sequence[np.ndarray]) -> List[Dict[str, Any]]:
         """Full two-stage pipeline over a list of pages; returns one detect()
-        result dict per page."""
+        result dict per page.
+
+        Boundary-band caveat: all pages share one padded shape bucket, and
+        pad pixels are not conv-neutral after LayerNorm/bias, so rough/precise
+        maps can differ from single-page ``detect()`` in a narrow band near
+        each page's valid-region edge. Detections well inside the page are
+        identical; detections hugging the page edge may differ slightly
+        between the two serving modes (tests pin >=97% mask agreement).
+        """
         engine = self.engine
         cfg = engine.config
         n = len(images)
         if n == 0:
             return []
+        # Feature-downsample factors differ per head when the two head
+        # upsampling knobs are configured independently (engine.py:176,376).
         fdf = 4 // cfg.rough_head_upsampling_factor
+        pfdf = 4 // cfg.precise_head_upsampling_factor
 
         # ---- shared rough bucket over all pages.
         per_page = [
@@ -216,8 +227,8 @@ class BatchedAdaptiveScalingInference:
         results = []
         for i, im in enumerate(images):
             stacked, boxes = stacked_per_page[i]
-            vh = math.ceil(stacked.shape[0] / fdf) if stacked.size else 0
-            vw = math.ceil(stacked.shape[1] / fdf) if stacked.size else 0
+            vh = math.ceil(stacked.shape[0] / pfdf) if stacked.size else 0
+            vw = math.ceil(stacked.shape[1] / pfdf) if stacked.size else 0
             prob = probs[i].copy()
             prob[vh:, :] = 0.0
             prob[:, vw:] = 0.0

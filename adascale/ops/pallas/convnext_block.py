@@ -115,12 +115,17 @@ def _kernel(
     h2 = h.reshape(th * w, cp).astype(up_w.dtype)
     hidden = up_w.shape[1]
     n_chunks = 1
-    while (th * w * (hidden // n_chunks)) * 4 > 4 * 1024 * 1024:
+    while (
+        (th * w * -(-hidden // n_chunks)) * 4 > 4 * 1024 * 1024
+        and n_chunks < hidden
+    ):
         n_chunks *= 2
-    chunk = hidden // n_chunks
+    # Ceil-div chunking with a clamped final slice so a non-dividing hidden
+    # dim never silently drops trailing channels.
+    chunk = -(-hidden // n_chunks)
     y = jnp.zeros((th * w, cp), jnp.float32)
-    for k in range(n_chunks):
-        sl = slice(k * chunk, (k + 1) * chunk)
+    for start in range(0, hidden, chunk):
+        sl = slice(start, min(start + chunk, hidden))
         u = jnp.dot(h2, up_w[:, sl], preferred_element_type=jnp.float32)
         u = _gelu_exact(u + up_b[0:1, sl])
         y = y + jnp.dot(

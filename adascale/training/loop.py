@@ -322,7 +322,11 @@ def train(
             if (
                 epoch_config.profile_num_batches > 0
                 and epoch_idx == 0
-                and batch_idx == epoch_config.profile_num_batches
+                and batch_idx
+                == min(
+                    epoch_config.profile_num_batches,
+                    epoch_config.train_num_batches,
+                )
             ):
                 jax.tree.map(lambda x: x.block_until_ready(), state.params)
                 jax.profiler.stop_trace()

@@ -236,8 +236,14 @@ def make_grad_inspection_fn(model, config: TrainStepConfig) -> Callable:
             leaves = [jnp.abs(x).reshape(-1) for x in jax.tree.leaves(tree)]
             return jnp.concatenate(leaves)
 
-        rough_abs = flat_abs(rough_grads)
-        precise_abs = flat_abs(precise_grads)
+        # The reference compares the two tasks' gradients over the *shared*
+        # parameter set only (the name intersection of params touched by both
+        # backwards, model/adaptive_scaling.py:189-212). Here the shared
+        # subtree is exactly the backbone (each task has its own neck+heads);
+        # restricting to it keeps task-specific head grads from polluting the
+        # comparison this knob exists for.
+        rough_abs = flat_abs(rough_grads["backbone"])
+        precise_abs = flat_abs(precise_grads["backbone"])
         return {
             "rough_abs_grads_mean": jnp.mean(rough_abs),
             "rough_abs_grads_std": jnp.std(rough_abs),

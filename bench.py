@@ -45,6 +45,36 @@ BASELINE_1280 = 0.044  # torch-CPU forward_rough @1280 (BASELINE.md)
 BASELINE_640 = 0.235  # torch-CPU forward_rough @640 (BASELINE.md)
 ITERS = 20
 HEADLINE_BATCH = 16  # throughput-optimal on v5e (sweep: B=4 36.7, B=8 48.1, B=16 50.7 pages/s)
+# Peak dense matmul throughput, one v5e chip: 197 TFLOP/s bf16 / 99 TFLOP/s
+# fp32 (public TPU v5e spec). MFU = achieved model FLOP/s / peak.
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_F32 = 99e12
+
+
+def _flops_of(fn, *args):
+    """Model FLOPs for one call of `fn(*args)` from XLA's compiled-program
+    cost analysis; None if the backend doesn't expose it."""
+    try:
+        lowerable = fn if hasattr(fn, "lower") else jax.jit(fn)
+        analysis = lowerable.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_fields(flops, dt):
+    """tflops_per_sec + mfu fields for a step of `flops` taking `dt` sec."""
+    if not flops or not dt:
+        return {}
+    achieved = flops / dt
+    peak = V5E_PEAK_BF16 if jax.default_backend() == "tpu" else V5E_PEAK_F32
+    return {
+        "tflops_per_sec": round(achieved / 1e12, 2),
+        "mfu_vs_v5e_peak": round(achieved / peak, 4),
+    }
 
 
 def _chained(forward, iters=ITERS):
@@ -73,17 +103,16 @@ def _time_chained(f, p, x, iters=ITERS):
     return (time.perf_counter() - t0) / iters
 
 
-def _emit(metric, value, unit, baseline=None):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 4),
-                "unit": unit,
-                "vs_baseline": round(value / baseline, 2) if baseline else None,
-            }
-        )
-    )
+def _emit(metric, value, unit, baseline=None, extra=None):
+    record = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }
+    if extra:
+        record.update(extra)
+    print(json.dumps(record))
 
 
 def _build(size, neck, dtype):
@@ -141,11 +170,13 @@ def bench_rough(res, batch, size="tiny", neck="fpn", baseline=None, tag=None):
     f = _chained(forward)
     x = _make_input(batch, res)
     dt = _time_chained(f, params, x)
+    flops = _flops_of(forward, params, x)
     _emit(
         tag or f"rough_forward_{res}px_pages_per_sec_per_chip",
         batch / dt,
         "pages/s",
         baseline,
+        extra=_mfu_fields(flops, dt),
     )
 
 
@@ -256,7 +287,8 @@ def bench_train_step(n_devices=1, hw=512, per_device_batch=4, iters=5, micro=Fal
         if n_devices == 1
         else f"train_step_dp{n_devices}_batch{b}_{hw}px"
     )
-    _emit(tag, 1.0 / dt, "steps/s")
+    flops = _flops_of(step, state, key, rough, precise)
+    _emit(tag, 1.0 / dt, "steps/s", extra=_mfu_fields(flops, dt))
 
 
 def main() -> None:

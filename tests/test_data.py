@@ -167,6 +167,69 @@ def test_dataset_dev_mode_and_collate(tmp_path):
     assert (cb.up, cb.down, cb.left, cb.right) == (4, 43, 4, 43)
 
 
+def test_precise_to_rough_rebalancing():
+    """enable_transform_precise_to_rough moves (n_p+n_r)//2 - n_r shuffled
+    text-region crops into the rough stream with the char-HEIGHT map as
+    score map (reference dataset/adaptive_scaling.py:106-128)."""
+    base = dict(
+        rough_crop_size=96,
+        rough_core_margin=4,
+        precise_crop_size=96,
+        precise_core_margin=4,
+        rough_samples_per_page=1,
+        precise_samples_per_page=5,
+    )
+    off = _small_pipeline(**base)
+    on = _small_pipeline(**base, enable_transform_precise_to_rough=True)
+
+    rough_off, precise_off = run_pipeline(off, rng_seed=21, run_idx=0)
+    rough_on, precise_on = run_pipeline(on, rng_seed=21, run_idx=0)
+
+    n_move = max(
+        0, (len(precise_off) + len(rough_off)) // 2 - len(rough_off)
+    )
+    assert n_move > 0  # this seed must actually exercise the transform
+    assert len(rough_on) == len(rough_off) + n_move
+    assert len(precise_on) == len(precise_off) - n_move
+    # Total sample count is conserved.
+    assert len(rough_on) + len(precise_on) == len(rough_off) + len(precise_off)
+    # Streams end up balanced (within 1 for odd totals).
+    assert abs(len(rough_on) - len(precise_on)) <= 1
+
+    for moved in rough_on[len(rough_off):]:
+        # A height map, not the precise gaussian (gaussian peaks at 1.0).
+        assert moved.downsampled_score_map.max() > 1.01
+        assert moved.image.shape == rough_on[0].image.shape
+        assert moved.downsampled_mask.shape == rough_on[0].downsampled_mask.shape
+
+
+def test_num_samples_reset_rng_fixed_set(tmp_path):
+    """num_samples_reset_rng counts SAMPLES: the stream must cycle a fixed
+    set of exactly that many pairs (overfit mode, reference
+    train.py:263-275 + dataset/adaptive_scaling.py:168-226)."""
+    reset = 4
+    cfg = AdaptiveScalingDatasetConfig(
+        steps_json=_steps_json(tmp_path),
+        num_samples=3 * reset,
+        num_page_char_regression_labels=8,
+        rng_seed=5,
+        num_samples_reset_rng=reset,
+    )
+    ds = AdaptiveScalingIterableDataset(cfg)
+    pairs = list(ds)
+    assert len(pairs) == 3 * reset
+    for i in range(2 * reset):
+        np.testing.assert_array_equal(pairs[i][0].image, pairs[i + reset][0].image)
+        np.testing.assert_array_equal(pairs[i][1].image, pairs[i + reset][1].image)
+        assert pairs[i][0].rng_state == pairs[i + reset][0].rng_state
+    # The fixed set has the configured cardinality: period is exactly
+    # `reset`, not shorter.
+    assert any(
+        not np.array_equal(pairs[0][0].image, pairs[j][0].image)
+        for j in range(1, reset)
+    )
+
+
 def test_dataset_train_streaming(tmp_path):
     cfg = AdaptiveScalingDatasetConfig(
         steps_json=_steps_json(tmp_path),
