@@ -83,9 +83,12 @@ class Box:
 
 @dataclasses.dataclass
 class Polygon:
-    """Simple polygon; points float32 (N, 2) in (x, y) order."""
+    """Simple polygon; points float32 (N, 2) in (x, y) order. ``score`` is
+    an optional detection confidence (peak char prob) used for NMS ordering
+    in the inference engine."""
 
     points: np.ndarray
+    score: Optional[float] = None
 
     def __post_init__(self):
         self.points = np.asarray(self.points, dtype=np.float32).reshape(-1, 2)
@@ -112,10 +115,13 @@ class Polygon:
         ry = to_shape[0] / from_shape[0]
         rx = to_shape[1] / from_shape[1]
         pts = self.points * np.asarray([rx, ry], dtype=np.float32)
-        return Polygon(pts)
+        return Polygon(pts, score=self.score)
 
     def to_shifted_polygon(self, offset_y: float, offset_x: float) -> "Polygon":
-        return Polygon(self.points + np.asarray([offset_x, offset_y], dtype=np.float32))
+        return Polygon(
+            self.points + np.asarray([offset_x, offset_y], dtype=np.float32),
+            score=self.score,
+        )
 
     def to_relative_polygon(self, origin_y: float, origin_x: float) -> "Polygon":
         return self.to_shifted_polygon(-origin_y, -origin_x)
@@ -123,7 +129,7 @@ class Polygon:
     def to_dilated_polygon(self, ratio: float) -> "Polygon":
         """Scale points away from the centroid by (1 + ratio)."""
         center = self.points.mean(axis=0, keepdims=True)
-        return Polygon(center + (self.points - center) * (1.0 + ratio))
+        return Polygon(center + (self.points - center) * (1.0 + ratio), score=self.score)
 
     def fill_mask(self, shape: Tuple[int, int]) -> np.ndarray:
         """Rasterize to a uint8 mask of ``shape``."""
@@ -193,5 +199,5 @@ def affine_polygons(trans_mat: np.ndarray, polygons: Sequence[Polygon]) -> List[
             [poly.points, np.ones((len(poly.points), 1), dtype=np.float32)], axis=1
         )
         transformed = pts @ mat.T
-        out.append(Polygon(transformed[:, :2]))
+        out.append(Polygon(transformed[:, :2], score=poly.score))
     return out

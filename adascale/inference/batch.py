@@ -253,6 +253,7 @@ class BatchedAdaptiveScalingInference:
             regions = regions_per_page[i]
             grouped = engine.precise_build_grouped_polygons(precise, regions, boxes)
             remapped = engine.precise_build_remapped_polygons(regions, boxes, grouped)
+            remapped = engine.dedup_char_polygons(remapped)
             results.append(
                 {
                     "rough": roughs[i],

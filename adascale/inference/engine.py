@@ -65,6 +65,13 @@ class AdaptiveScalingInferenceConfig:
     precise_stack_flattened_text_regions_pad: int = 2
     precise_build_polygons_positive_char_prob_thr: float = 0.7
     precise_build_polygons_maximum_filter_size: int = 5
+    # Cross-region NMS on the remapped char polygons. Text regions are
+    # dilated before flattening (dilate_ratio 0.8 above), so a char near a
+    # region boundary appears in SEVERAL regions' flattened crops and gets
+    # detected once per region; the reference ships these duplicates
+    # (:467-524 has no dedup). Greedy IoU suppression ordered by peak char
+    # prob removes them. None disables (reference-exact output).
+    dedup_char_polygons_iou_thr: Optional[float] = 0.5
     # TPU-native knobs.
     shape_bucket: int = 64
     matmul_precision: str = "highest"  # 'highest' = fp32 parity; 'default' = fast bf16
@@ -469,7 +476,8 @@ class AdaptiveScalingInference:
                     dtype=np.float64,
                 )
             )
-        return Polygon(np.stack(corners))
+        score = float(precise.precise_char_prob_score_map[point_y, point_x])
+        return Polygon(np.stack(corners), score=score)
 
     def precise_build_grouped_polygons(
         self,
@@ -547,6 +555,25 @@ class AdaptiveScalingInference:
                 )
         return remapped
 
+    def dedup_char_polygons(self, polygons: Sequence[Polygon]) -> List[Polygon]:
+        """Greedy NMS over remapped char polygons (highest peak prob wins);
+        see config.dedup_char_polygons_iou_thr for why duplicates exist."""
+        thr = self.config.dedup_char_polygons_iou_thr
+        if thr is None or len(polygons) <= 1:
+            return list(polygons)
+        from .eval import polygon_iou
+
+        order = sorted(
+            range(len(polygons)),
+            key=lambda i: -(polygons[i].score if polygons[i].score is not None else 0.0),
+        )
+        kept: List[Polygon] = []
+        for i in order:
+            p = polygons[i]
+            if all(polygon_iou(p, k) < thr for k in kept):
+                kept.append(p)
+        return kept
+
     # -------------------------------------------------------------- end-to-end
 
     def detect(self, image: np.ndarray, tiled: Optional[bool] = None) -> Dict[str, Any]:
@@ -566,6 +593,7 @@ class AdaptiveScalingInference:
         precise = self.precise_infer(stacked)
         grouped = self.precise_build_grouped_polygons(precise, regions, boxes)
         remapped = self.precise_build_remapped_polygons(regions, boxes, grouped)
+        remapped = self.dedup_char_polygons(remapped)
         return {
             "rough": rough,
             "regions": regions,

@@ -28,8 +28,12 @@ TPU constraints honored here: channels are zero-padded to a lane multiple
 over the real C channels only, and erf (no Mosaic lowering) uses an
 A&S-7.1.26 approximation (|err|<=1.5e-7, far below the 1e-3 parity bar).
 
-Inference-path only (stochastic depth = identity); training keeps the XLA
-composition in adascale/models/convnext.py, which autodiffs.
+``fused_convnext_block`` is the raw inference kernel (stochastic depth =
+identity). ``make_trainable_block`` wraps it in a ``jax.custom_vjp`` whose
+backward recomputes the block with a numerically-identical XLA composition
+and differentiates that — so training gets the fused forward while autodiff
+semantics stay exactly the XLA ones (a rematerialized backward: no
+activations saved between forward and backward).
 """
 from __future__ import annotations
 
@@ -237,3 +241,58 @@ def fused_convnext_block(
         interpret=interpret,
     )(*args)
     return out[:, :h, :, :c]
+
+
+def block_xla(
+    x, dw_kernel, dw_bias, ln_scale, ln_bias,
+    up_kernel, up_bias, down_kernel, down_bias, block_scale,
+):
+    """Pure-XLA twin of the fused kernel (deterministic ConvNeXtBlockLayer,
+    adascale/models/convnext.py:53-81 math): used as the recompute target
+    for the trainable block's backward, and as a parity reference."""
+    c = x.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x,
+        dw_kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[(HALO, HALO), (HALO, HALO)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    ) + dw_bias.astype(x.dtype)
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+    h = (yf - mean) * jax.lax.rsqrt(var + 1e-6)
+    h = h * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    h = h.astype(x.dtype)
+    u = h @ up_kernel.astype(x.dtype) + up_bias.astype(x.dtype)
+    u = jax.nn.gelu(u, approximate=False)
+    v = u @ down_kernel.astype(x.dtype) + down_bias.astype(x.dtype)
+    return x + v * block_scale.astype(v.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def make_trainable_block(tile_h: int = 8, interpret: bool = False):
+    """Differentiable fused block: Pallas forward, recompute-based XLA
+    backward (jax.custom_vjp). Residuals carry only the INPUTS — the
+    backward re-runs the XLA composition and differentiates it, trading
+    ~1 extra forward of FLOPs for zero saved intra-block activations
+    (the same trade jax.checkpoint makes)."""
+
+    @jax.custom_vjp
+    def block(x, dwk, dwb, ln_g, ln_b, up_w, up_b, down_w, down_b, scale):
+        return fused_convnext_block(
+            x, dwk, dwb, ln_g, ln_b, up_w, up_b, down_w, down_b, scale,
+            tile_h=tile_h, interpret=interpret,
+        )
+
+    def fwd(x, dwk, dwb, ln_g, ln_b, up_w, up_b, down_w, down_b, scale):
+        out = block(x, dwk, dwb, ln_g, ln_b, up_w, up_b, down_w, down_b, scale)
+        return out, (x, dwk, dwb, ln_g, ln_b, up_w, up_b, down_w, down_b, scale)
+
+    def bwd(residuals, g):
+        _, vjp = jax.vjp(block_xla, *residuals)
+        return vjp(g)
+
+    block.defvjp(fwd, bwd)
+    return block

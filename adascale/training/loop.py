@@ -20,6 +20,7 @@ import logging
 import os
 import shutil
 import statistics
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -31,6 +32,7 @@ from ..data.dataset import (
     SynthPipelineConfig,
     collate_samples,
 )
+from ..data.prefetch import BatchPrefetcher
 from ..losses import (
     AdaptiveScalingPreciseLossConfig,
     AdaptiveScalingRoughLossConfig,
@@ -75,6 +77,10 @@ class EpochConfig:
     # jax.checkpoint rematerialization in the train step (more FLOPs,
     # much less activation memory -> larger per-chip batches).
     remat: bool = False
+    # Background-thread batch prefetching: collate + device_put of batch
+    # N+1 overlapped with step N (the role of the reference's DataLoader
+    # workers, train.py:341-352). 0 disables; >=1 sets the queue depth.
+    prefetch_depth: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -282,24 +288,19 @@ def train(
     best = {"dev_loss": float("inf"), "rough": float("inf"), "precise": float("inf")}
     last_metrics: Dict[str, float] = {}
 
-    while epoch_idx < epoch_config.num_epochs:
-        # Curriculum rebuild (train.py:359-391).
-        if epoch_idx > 0 and epoch_idx in epoch_to_steps_json:
-            logger.info("Curriculum reset at epoch %d", epoch_idx)
-            train_dataset.pool.cleanup()
-            train_dataset = build_train_dataset(
-                epoch_to_steps_json[epoch_idx], epoch_to_rng_seed[epoch_idx]
-            )
+    def make_batch_fn(dataset):
+        """Closure pulling one collated, device-placed batch; runs on the
+        prefetch thread so host work overlaps the device step."""
+        batch_iter = iter(dataset)
 
-        logger.info("Training epoch %d ...", epoch_idx)
-        batch_iter = iter(train_dataset)
-        for batch_idx in range(1, epoch_config.train_num_batches + 1):
+        def make_batch():
+            nonlocal batch_iter
             pairs = []
             for _ in range(epoch_config.train_batch_size):
                 try:
                     pairs.append(next(batch_iter))
                 except StopIteration:
-                    batch_iter = iter(train_dataset)
+                    batch_iter = iter(dataset)
                     pairs.append(next(batch_iter))
             batch = collate_samples(pairs)
             rough_b = _clean_batch(batch["rough"])
@@ -307,6 +308,54 @@ def train(
             if mesh is not None:
                 rough_b = shard_batch(rough_b, mesh)
                 precise_b = shard_batch(precise_b, mesh)
+            return rough_b, precise_b
+
+        return make_batch
+
+    prefetcher = None
+    if epoch_config.prefetch_depth > 0:
+        prefetcher = BatchPrefetcher(
+            make_batch_fn(train_dataset), depth=epoch_config.prefetch_depth
+        )
+
+    while epoch_idx < epoch_config.num_epochs:
+        # Curriculum rebuild (train.py:359-391).
+        if epoch_idx > 0 and epoch_idx in epoch_to_steps_json:
+            logger.info("Curriculum reset at epoch %d", epoch_idx)
+            if prefetcher is not None:
+                prefetcher.stop()
+            train_dataset.pool.cleanup()
+            train_dataset = build_train_dataset(
+                epoch_to_steps_json[epoch_idx], epoch_to_rng_seed[epoch_idx]
+            )
+            if prefetcher is not None:
+                prefetcher = BatchPrefetcher(
+                    make_batch_fn(train_dataset),
+                    depth=epoch_config.prefetch_depth,
+                )
+
+        logger.info("Training epoch %d ...", epoch_idx)
+        if prefetcher is not None:
+            prefetcher.reset_stall_accounting()
+        epoch_t0 = time.perf_counter()
+        batch_iter = iter(train_dataset) if prefetcher is None else None
+        for batch_idx in range(1, epoch_config.train_num_batches + 1):
+            if prefetcher is not None:
+                rough_b, precise_b = prefetcher.get()
+            else:
+                pairs = []
+                for _ in range(epoch_config.train_batch_size):
+                    try:
+                        pairs.append(next(batch_iter))
+                    except StopIteration:
+                        batch_iter = iter(train_dataset)
+                        pairs.append(next(batch_iter))
+                batch = collate_samples(pairs)
+                rough_b = _clean_batch(batch["rough"])
+                precise_b = _clean_batch(batch["precise"])
+                if mesh is not None:
+                    rough_b = shard_batch(rough_b, mesh)
+                    precise_b = shard_batch(precise_b, mesh)
 
             if (
                 epoch_config.profile_num_batches > 0
@@ -359,6 +408,17 @@ def train(
                     precise_avg,
                     rough_avg + precise_avg,
                 )
+
+        if prefetcher is not None:
+            # Data-stall fraction: wall time the loop spent blocked on
+            # batches / epoch wall time. ~0 means the host pipeline keeps
+            # the chip fed (the device-only steps/s is realized).
+            epoch_wall = time.perf_counter() - epoch_t0
+            stall_pct = 100.0 * prefetcher.stall_seconds / max(epoch_wall, 1e-9)
+            logger.info(
+                "E=%d, epoch_wall=%.1fs, data_stall=%.1f%% (%.1fs)",
+                epoch_idx, epoch_wall, stall_pct, prefetcher.stall_seconds,
+            )
 
         # Evaluation (train.py:490-576).
         dev_loss = None
@@ -416,6 +476,8 @@ def train(
 
         epoch_idx += 1
 
+    if prefetcher is not None:
+        prefetcher.stop()
     train_dataset.pool.cleanup()
     return last_metrics
 

@@ -55,6 +55,11 @@ class TrainStepConfig:
     # saving activations (jax.checkpoint) — trades ~1/3 more FLOPs for a
     # large activation-memory cut, enabling bigger per-chip batches.
     remat: bool = False
+    # Run the backbone blocks through the fused Pallas kernel (custom-VJP,
+    # recompute-based backward) instead of the Flax/XLA composition. TPU
+    # only; grads are numerically the XLA ones (adascale/ops/pallas/
+    # convnext_block.py::make_trainable_block).
+    fused_backbone: bool = False
 
 
 def _two_task_loss(
@@ -68,7 +73,38 @@ def _two_task_loss(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     rough_rng, precise_rng = jax.random.split(rng)
 
+    backbone_spec = None
+    if config.fused_backbone:
+        from ..models.convnext import CONVNEXT_PRESETS
+        from ..ops.pallas import convnext_forward_pallas_train
+
+        mc = model.config
+        backbone_spec = (
+            mc.custom_block_channels_and_num_layers
+            if mc.custom_block_channels_and_num_layers is not None
+            else CONVNEXT_PRESETS[
+                mc.size.value if hasattr(mc.size, "value") else mc.size
+            ]
+        )
+
+        def fused_features(p, image, fwd_rng):
+            return tuple(
+                convnext_forward_pallas_train(
+                    p["backbone"],
+                    image,
+                    backbone_spec,
+                    drop_path_rng=fwd_rng,
+                    deterministic=deterministic,
+                )
+            )
+
     def rough_fwd(p, image, fwd_rng):
+        if config.fused_backbone:
+            return model.apply(
+                {"params": p},
+                fused_features(p, image, fwd_rng),
+                method=model.forward_rough_from_features,
+            )
         return model.apply(
             {"params": p},
             image,
@@ -95,6 +131,12 @@ def _two_task_loss(
     enable_mask_head = model.config.precise_enable_char_mask_head
 
     def precise_fwd(p, image, fwd_rng):
+        if config.fused_backbone and not enable_mask_head:
+            return model.apply(
+                {"params": p},
+                fused_features(p, image, fwd_rng),
+                method=model.forward_precise_from_features,
+            )
         return model.apply(
             {"params": p},
             image,
