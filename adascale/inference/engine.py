@@ -70,8 +70,10 @@ class AdaptiveScalingInferenceConfig:
     # region boundary appears in SEVERAL regions' flattened crops and gets
     # detected once per region; the reference ships these duplicates
     # (:467-524 has no dedup). Greedy IoU suppression ordered by peak char
-    # prob removes them. None disables (reference-exact output).
-    dedup_char_polygons_iou_thr: Optional[float] = 0.5
+    # prob removes them. None disables (reference-exact output). 0.3 keeps
+    # imperfectly-remapped duplicates suppressed while never merging
+    # genuinely adjacent chars (char quads are disjoint).
+    dedup_char_polygons_iou_thr: Optional[float] = 0.3
     # TPU-native knobs.
     shape_bucket: int = 64
     matmul_precision: str = "highest"  # 'highest' = fp32 parity; 'default' = fast bf16
