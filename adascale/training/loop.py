@@ -24,6 +24,7 @@ import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import (
@@ -81,6 +82,10 @@ class EpochConfig:
     # N+1 overlapped with step N (the role of the reference's DataLoader
     # workers, train.py:341-352). 0 disables; >=1 sets the queue depth.
     prefetch_depth: int = 2
+    # Activation/compute dtype for the model ('bfloat16' on TPU doubles
+    # MXU throughput). Params, optimizer state and all loss math stay
+    # float32 (the train step casts head outputs up before the losses).
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -234,8 +239,11 @@ def train(
         epoch_to_steps_json.get(0), epoch_to_rng_seed.get(0, epoch_config.train_rng_seed)
     )
 
-    # Model + optimizer.
-    model = AdaptiveScaling(config=model_config)
+    # Model + optimizer. compute_dtype only changes activation dtype;
+    # params (init) and optimizer state are always float32.
+    model = AdaptiveScaling(
+        config=model_config, dtype=jnp.dtype(epoch_config.compute_dtype)
+    )
     init_size = train_dataset.pipeline.rough_crop_size
     params = model.init(key, np.zeros((1, init_size, init_size, 3), np.float32))["params"]
     tx, schedule = build_optimizer(

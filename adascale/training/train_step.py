@@ -116,6 +116,10 @@ def _two_task_loss(
     if config.remat:
         rough_fwd = jax.checkpoint(rough_fwd)
     mask_feat, height_feat = rough_fwd(params, rough_batch["image"], rough_rng)
+    # Losses always run in f32 — with a bf16 compute model the heads emit
+    # bf16; log/exp-heavy loss math must not (no-op for f32 models).
+    mask_feat = mask_feat.astype(jnp.float32)
+    height_feat = height_feat.astype(jnp.float32)
     r_loss = (
         rough_loss(
             mask_feat,
@@ -152,6 +156,7 @@ def _two_task_loss(
     if config.remat:
         precise_fwd = jax.checkpoint(precise_fwd)
     precise_out = precise_fwd(params, precise_batch["image"], precise_rng)
+    precise_out = tuple(t.astype(jnp.float32) for t in precise_out)
     if enable_mask_head:
         precise_mask_logits, prob, offset, angle, distance = precise_out
     else:

@@ -10,8 +10,11 @@ configs, one JSON line each:
   2  small/UPerNeXt 1024px batch-8 forward (PPM + multi-scale fusion)
   3  tiled whole-page: 2048px scan, overlapping 768px tiles, on-device stitch
   4  single two-task train step (grad + clip + AdamW), batch 4 @ 512px
+  4f same, backbone via the fused Pallas custom-VJP block
   5  data-parallel train step over an 8-device mesh (needs 8 devices;
      run on CPU with XLA_FLAGS=--xla_force_host_platform_device_count=8)
+  6  END-TO-END train loop: real multiprocess synth data + prefetcher,
+     reports steps/s and data_stall_pct (done-bar: stall < 10%)
 
 Baseline (BASELINE.md): the PyTorch reference, TorchScript TINY/FPN
 ``forward_rough``, CPU fp32 — 0.044 pages/s @1280px, 0.235 pages/s @640px.
@@ -200,9 +203,15 @@ def bench_tiled_2048():
     _emit("tiled_rough_2048px_pages_per_sec_per_chip", 1.0 / dt, "pages/s")
 
 
-def bench_train_step(n_devices=1, hw=512, per_device_batch=4, iters=5, micro=False):
+def bench_train_step(
+    n_devices=1, hw=512, per_device_batch=4, iters=5, micro=False, fused=False,
+    dtype=None,
+):
     """BASELINE configs 4/5: two-task train step, single device or sharded
-    over an n-device data mesh."""
+    over an n-device data mesh. ``fused=True`` routes the backbone through
+    the Pallas custom-VJP block (TrainStepConfig.fused_backbone);
+    ``dtype=jnp.bfloat16`` benches mixed precision (bf16 compute, f32
+    params/optimizer, f32 losses)."""
     from adascale.losses import CoreBox
     from adascale.models import (
         AdaptiveScaling,
@@ -228,7 +237,8 @@ def bench_train_step(n_devices=1, hw=512, per_device_batch=4, iters=5, micro=Fal
             custom_block_channels_and_num_layers=(
                 ((16, 1), (32, 1), (64, 1), (128, 1)) if micro else None
             ),
-        )
+        ),
+        dtype=dtype or jnp.float32,
     )
     rng = np.random.default_rng(0)
     rough = {
@@ -251,7 +261,9 @@ def bench_train_step(n_devices=1, hw=512, per_device_batch=4, iters=5, micro=Fal
     tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=1000)
     state = TrainState(params=params, opt_state=tx.init(params))
     box = CoreBox(0, fh - 1, 0, fh - 1)
-    config = TrainStepConfig(rough_core_box=box, precise_core_box=box)
+    config = TrainStepConfig(
+        rough_core_box=box, precise_core_box=box, fused_backbone=fused
+    )
 
     mesh = None
     if n_devices > 1:
@@ -287,17 +299,139 @@ def bench_train_step(n_devices=1, hw=512, per_device_batch=4, iters=5, micro=Fal
         if n_devices == 1
         else f"train_step_dp{n_devices}_batch{b}_{hw}px"
     )
+    if fused:
+        tag += "_fused"
+    if dtype is not None and dtype != jnp.float32:
+        tag += f"_{jnp.dtype(dtype).name}"
     flops = _flops_of(step, state, key, rough, precise)
     _emit(tag, 1.0 / dt, "steps/s", extra=_mfu_fields(flops, dt))
+
+
+def bench_train_loop_e2e(num_batches=30, batch_size=4, num_processes=8):
+    """VERDICT r1 #3: END-TO-END train-loop throughput with the real synth
+    data pipeline (multiprocess generator pool + background prefetcher) —
+    reports steps/s and the data-stall fraction. Done-bar: stall < 10%,
+    i.e. hardware steps/s ~= device-only steps/s."""
+    import tempfile
+
+    from adascale.data.dataset import (
+        AdaptiveScalingDatasetConfig,
+        AdaptiveScalingIterableDataset,
+        SynthPipelineConfig,
+        collate_samples,
+    )
+    from adascale.data.prefetch import BatchPrefetcher
+    from adascale.data.synth import SynthPageConfig
+    from adascale.losses import CoreBox
+    from adascale.models import (
+        AdaptiveScaling,
+        AdaptiveScalingConfig,
+        AdaptiveScalingNeckHeadType,
+        AdaptiveScalingSize,
+    )
+    from adascale.training import (
+        OptimizerConfig,
+        TrainStepConfig,
+        build_optimizer,
+        make_train_step,
+    )
+    from adascale.training.train_step import TrainState
+    from adascale.utils.config import dump_config
+
+    pipe = SynthPipelineConfig(
+        page=SynthPageConfig(page_height=768, page_width=768),
+        rough_crop_size=512,
+        precise_crop_size=320,
+    )
+    steps_json = tempfile.mktemp(suffix=".json")
+    dump_config(pipe, steps_json)
+    ds = AdaptiveScalingIterableDataset(
+        AdaptiveScalingDatasetConfig(
+            steps_json=steps_json,
+            num_samples=num_batches * batch_size * 2,
+            num_page_char_regression_labels=200,
+            rng_seed=7,
+            num_processes=num_processes,
+        )
+    )
+    model = AdaptiveScaling(
+        config=AdaptiveScalingConfig(
+            size=AdaptiveScalingSize.TINY,
+            neck_head_type=AdaptiveScalingNeckHeadType.FPN,
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=1000)
+    state = TrainState(params=params, opt_state=tx.init(params))
+    rd, pd = pipe.rough_crop_size // 2, pipe.precise_crop_size // 2
+    config = TrainStepConfig(
+        rough_core_box=CoreBox(16, rd - 17, 16, rd - 17),
+        precise_core_box=CoreBox(8, pd - 9, 8, pd - 9),
+    )
+    step = make_train_step(model, tx, config, donate=False)
+
+    drop = {"downsampled_shape", "downsampled_core_box", "rng_states"}
+    batch_iter = iter(ds)
+
+    def make_batch():
+        nonlocal batch_iter
+        pairs = []
+        for _ in range(batch_size):
+            try:
+                pairs.append(next(batch_iter))
+            except StopIteration:
+                batch_iter = iter(ds)
+                pairs.append(next(batch_iter))
+        b = collate_samples(pairs)
+        return (
+            {k: jnp.asarray(v) for k, v in b["rough"].items() if k not in drop},
+            {k: jnp.asarray(v) for k, v in b["precise"].items() if k not in drop},
+        )
+
+    pf = BatchPrefetcher(make_batch, depth=3)
+    # Compile + warm the pool.
+    rough, precise = pf.get()
+    state, m = step(state, key, rough, precise)
+    float(m["rough_loss"])
+    pf.reset_stall_accounting()
+    t0 = time.perf_counter()
+    for _ in range(num_batches):
+        rough, precise = pf.get()
+        state, m = step(state, key, rough, precise)
+    float(m["rough_loss"]); float(m["precise_loss"])
+    wall = time.perf_counter() - t0
+    pf.stop()
+    ds.pool.cleanup()
+    _emit(
+        f"train_loop_e2e_batch{batch_size}_{pipe.rough_crop_size}px",
+        num_batches / wall,
+        "steps/s",
+        extra={"data_stall_pct": round(100.0 * pf.stall_seconds / wall, 2)},
+    )
 
 
 def main() -> None:
     cfg = None
     if len(sys.argv) > 2 and sys.argv[1] == "--config":
-        cfg = int(sys.argv[2])
+        cfg = sys.argv[2]
     if cfg is None:
         bench_rough(1280, HEADLINE_BATCH, baseline=BASELINE_1280)
-    elif cfg == 1:
+        return
+    if cfg == "4f":
+        bench_train_step(1, fused=True)
+        return
+    if cfg == "4b":
+        bench_train_step(1, dtype=jnp.bfloat16)
+        return
+    if cfg == "4b8":
+        bench_train_step(1, per_device_batch=8, dtype=jnp.bfloat16)
+        return
+    if cfg == "6":
+        bench_train_loop_e2e()
+        return
+    cfg = int(cfg)
+    if cfg == 1:
         bench_rough(640, 1, baseline=BASELINE_640, tag="rough_forward_640px_single_page")
     elif cfg == 2:
         bench_rough(1024, 8, size="small", neck="upernext",

@@ -21,6 +21,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent executable cache: the suite's wall-clock is dominated by
+# ~10 CPU-mesh train-step compiles (60-80s each); caching them on disk
+# makes every run after the first take seconds instead (VERDICT r1 #10).
+_cache_dir = os.path.expanduser("~/.cache/jax_comp_cache_tests")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 @pytest.fixture(autouse=True)
 def _default_to_cpu(request):

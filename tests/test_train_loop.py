@@ -128,6 +128,46 @@ def test_train_loop_overfit_mode(tmp_path):
     assert (out / "log.txt").exists()
 
 
+def test_train_loop_bf16_compute(tmp_path):
+    """compute_dtype='bfloat16': activations run in bf16 (MXU fast path)
+    while params and loss math stay float32 — dev loss must be finite and
+    the saved checkpoint must hold f32 params."""
+    dataset_json, epoch_json, model_json = _write_configs(tmp_path)
+    epoch = json.loads((tmp_path / "epoch.json").read_text())
+    epoch.update({"compute_dtype": "bfloat16", "train_num_batches": 2})
+    (tmp_path / "epoch_bf16.json").write_text(json.dumps(epoch))
+    out = tmp_path / "run_bf16"
+    metrics = train(
+        dataset_config_json=str(dataset_json),
+        output_folder=str(out),
+        epoch_config_json=str(tmp_path / "epoch_bf16.json"),
+        model_config_json=str(model_json),
+    )
+    assert np.isfinite(metrics["dev_loss"])
+    ckpts = [d for d in os.listdir(out) if d.startswith("state_0")]
+    assert ckpts
+    import jax
+
+    from adascale.inference import (
+        AdaptiveScalingInference,
+        AdaptiveScalingInferenceConfig,
+    )
+    from adascale.models import AdaptiveScalingConfig
+    from adascale.utils.config import load_config
+
+    artifact = export_inference_artifact(
+        str(out / ckpts[0]), str(tmp_path / "artifact_bf16"), str(model_json)
+    )
+    engine = AdaptiveScalingInference(
+        AdaptiveScalingInferenceConfig(
+            checkpoint=os.path.join(artifact, "params"),
+            model=load_config(str(model_json), AdaptiveScalingConfig),
+        )
+    )
+    leaves = jax.tree.leaves(engine.params)
+    assert all(leaf.dtype == np.float32 for leaf in leaves)
+
+
 def test_demo_writes_visualizations(tmp_path):
     import jax
     import jax.numpy as jnp
