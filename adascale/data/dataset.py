@@ -134,7 +134,8 @@ def crop_rough_sample(
     chars = _chars_in_box(page.chars, box)
 
     mask, height_map, _ = render_char_labels(
-        chars, (s, s), f, page.config.gaussian_sigma_ratio
+        chars, (s, s), f, page.config.gaussian_sigma_ratio,
+        backend=page.config.render_backend,
     )
     dshape = (s // f, s // f)
     core = _core_box(dshape, pipeline.rough_core_margin)
@@ -212,7 +213,8 @@ def _crop_precise_sample_once(
         return None
 
     mask, height_map, gaussian = render_char_labels(
-        chars, (s, s), f, page.config.gaussian_sigma_ratio
+        chars, (s, s), f, page.config.gaussian_sigma_ratio,
+        backend=page.config.render_backend,
     )
     dshape = (s // f, s // f)
     core = _core_box(dshape, pipeline.precise_core_margin)

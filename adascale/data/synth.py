@@ -65,6 +65,13 @@ class SynthPageConfig:
     ruled_line_prob: float = 0.3  # horizontal ruled lines (notebook paper)
     table_prob: float = 0.15  # light table grid
     vignette_prob: float = 0.4  # brightness gradient across the page
+    # Rasterization backend: 'python' (cv2 per char — bit-stable, the
+    # golden/provenance reference), 'native' (adascale.native C++ command
+    # buffer, ~an order of magnitude faster on 1-core hosts), or 'auto'
+    # (native when the library builds, else python). The geometry and the
+    # rng stream are identical across backends — only pixel rasterization
+    # differs — so GT labels for a (seed, run_idx) pair never change.
+    render_backend: str = "python"
 
 
 @dataclasses.dataclass
@@ -118,73 +125,163 @@ _GLYPH_FONTS = (
 _TILE = 32  # glyphs are rasterized upright in a TILE x TILE patch
 
 
-def _draw_strokes(image: np.ndarray, corners: np.ndarray, rng: np.random.Generator,
-                  ink: int) -> None:
-    """Texture a char quad with a few strokes (non-letter marks: logos,
-    CJK-ish scribbles, symbols)."""
-    ul, ur, dr, dl = corners
-    num_strokes = int(rng.integers(2, 5))
-    for _ in range(num_strokes):
-        a, b = rng.uniform(size=(2, 2))
-        p0 = ul + a[0] * (ur - ul) + a[1] * (dl - ul)
-        p1 = ul + b[0] * (ur - ul) + b[1] * (dl - ul)
-        thickness = max(1, int(rng.integers(1, 3)))
-        cv2.line(
-            image,
-            tuple(np.round(p0).astype(int)),
-            tuple(np.round(p1).astype(int)),
-            (ink, ink, ink),
-            thickness,
+# Rasterized glyph tiles are deterministic functions of (glyph, font,
+# thickness); caching them removes the dominant putText cost from the hot
+# loop without touching any rng stream or output pixel. The id-keyed
+# variant additionally assigns stable atlas slots for the native backend.
+_TILE_CACHE: dict = {}
+_ATLAS_IDS: dict = {}
+_ATLAS_TILES: list = []
+_ATLAS_STACK: Optional[np.ndarray] = None
+
+
+def _glyph_tile(glyph: str, font: int, thickness: int) -> np.ndarray:
+    key = (glyph, font, thickness)
+    tile = _TILE_CACHE.get(key)
+    if tile is None:
+        tile = np.zeros((_TILE, _TILE), dtype=np.uint8)
+        try:
+            scale = cv2.getFontScaleFromHeight(font & 0xF, _TILE - 10, thickness)
+        except Exception:  # pragma: no cover - very old cv2
+            scale = 0.8
+        cv2.putText(
+            tile, glyph, (3, _TILE - 6), font, scale, 255, thickness, cv2.LINE_AA
         )
-    # Connect the strokes with a light diagonal so components stay joined.
-    cv2.line(
-        image,
-        tuple(np.round(ul).astype(int)),
-        tuple(np.round(dr).astype(int)),
-        (ink, ink, ink),
-        1,
-    )
+        _TILE_CACHE[key] = tile
+    return tile
+
+
+def _glyph_tile_id(glyph: str, font: int, thickness: int) -> int:
+    global _ATLAS_STACK
+    key = (glyph, font, thickness)
+    tile_id = _ATLAS_IDS.get(key)
+    if tile_id is None:
+        _ATLAS_TILES.append(_glyph_tile(glyph, font, thickness))
+        tile_id = len(_ATLAS_TILES) - 1
+        _ATLAS_IDS[key] = tile_id
+        _ATLAS_STACK = None
+    return tile_id
+
+
+def _glyph_atlas() -> np.ndarray:
+    global _ATLAS_STACK
+    if _ATLAS_STACK is None or len(_ATLAS_STACK) != len(_ATLAS_TILES):
+        _ATLAS_STACK = (
+            np.stack(_ATLAS_TILES)
+            if _ATLAS_TILES
+            else np.zeros((1, _TILE, _TILE), np.uint8)
+        )
+    return _ATLAS_STACK
+
+
+def _glyph_commands(
+    corners: np.ndarray, rng: np.random.Generator, ink: int, stroke_prob: float
+) -> list:
+    """All random decisions for texturing one char quad -> draw commands.
+
+    The rng call order here is LOAD-BEARING: pages are addressed by
+    (seed, run_idx) for sample provenance (reference dataset/
+    adaptive_scaling.py:44,83), and both rasterization backends consume
+    this same command stream, so the stream must never change.
+
+    Commands: ("line", thickness, p0_xy, p1_xy, ink) with endpoints already
+    rounded to ints, or ("glyph", (glyph, font, thickness), corners, ink).
+    """
+    cmds = []
+    if rng.uniform() < stroke_prob:
+        # Strokes (non-letter marks: logos, CJK-ish scribbles, symbols).
+        ul, ur, dr, dl = corners
+        num_strokes = int(rng.integers(2, 5))
+        for _ in range(num_strokes):
+            a, b = rng.uniform(size=(2, 2))
+            p0 = ul + a[0] * (ur - ul) + a[1] * (dl - ul)
+            p1 = ul + b[0] * (ur - ul) + b[1] * (dl - ul)
+            thickness = max(1, int(rng.integers(1, 3)))
+            cmds.append(
+                ("line", thickness, np.round(p0).astype(int), np.round(p1).astype(int), ink)
+            )
+        # Connect the strokes with a light diagonal so components stay joined.
+        cmds.append(
+            ("line", 1, np.round(ul).astype(int), np.round(dr).astype(int), ink)
+        )
+        return cmds
+    glyph = _GLYPH_CHARS[int(rng.integers(0, len(_GLYPH_CHARS)))]
+    font = _GLYPH_FONTS[int(rng.integers(0, len(_GLYPH_FONTS)))]
+    thickness = int(rng.integers(1, 3))
+    cmds.append(("glyph", (glyph, font, thickness), corners, ink))
+    return cmds
+
+
+def _raster_commands_python(image: np.ndarray, cmds: list) -> None:
+    """cv2 rasterization, bit-identical to the historical per-char path."""
+    for cmd in cmds:
+        if cmd[0] == "line":
+            _, thickness, p0, p1, ink = cmd
+            cv2.line(image, tuple(p0), tuple(p1), (ink, ink, ink), thickness)
+            continue
+        _, key, corners, ink = cmd
+        tile = _glyph_tile(*key)
+        # Warp the upright tile into the quad (ROI-local, cheap).
+        xs, ys = corners[:, 0], corners[:, 1]
+        x0 = max(0, int(math.floor(xs.min())))
+        y0 = max(0, int(math.floor(ys.min())))
+        x1 = min(image.shape[1], int(math.ceil(xs.max())) + 1)
+        y1 = min(image.shape[0], int(math.ceil(ys.max())) + 1)
+        if x1 - x0 < 2 or y1 - y0 < 2:
+            continue
+        src = np.asarray(
+            [[0, 0], [_TILE, 0], [_TILE, _TILE], [0, _TILE]], dtype=np.float32
+        )
+        dst = (corners - np.asarray([[x0, y0]], dtype=np.float32)).astype(np.float32)
+        mat = cv2.getPerspectiveTransform(src, dst)
+        alpha = cv2.warpPerspective(
+            tile, mat, (x1 - x0, y1 - y0), flags=cv2.INTER_LINEAR
+        ).astype(np.float32) / 255.0
+        roi = image[y0:y1, x0:x1].astype(np.float32)
+        blended = roi * (1.0 - alpha[..., None]) + float(ink) * alpha[..., None]
+        image[y0:y1, x0:x1] = np.clip(blended, 0, 255).astype(np.uint8)
+
+
+def _raster_commands_native(image: np.ndarray, cmds: list) -> None:
+    """One C++ call executes the whole page's ordered command buffer."""
+    from .. import native
+
+    n = len(cmds)
+    types = np.empty(n, np.int32)
+    aux = np.empty(n, np.int32)
+    inks = np.empty(n, np.uint8)
+    geo = np.zeros((n, 8), np.float32)
+    for i, cmd in enumerate(cmds):
+        if cmd[0] == "line":
+            _, thickness, p0, p1, ink = cmd
+            types[i] = 1
+            aux[i] = thickness
+            inks[i] = ink
+            geo[i, :4] = (p0[0], p0[1], p1[0], p1[1])
+        else:
+            _, key, corners, ink = cmd
+            types[i] = 0
+            aux[i] = _glyph_tile_id(*key)
+            inks[i] = ink
+            geo[i] = corners.reshape(-1)
+    native.execute_draw_buffer(image, types, aux, inks, geo, _glyph_atlas())
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        from .. import native
+
+        return "native" if native.available() else "python"
+    if backend not in ("python", "native"):
+        raise ValueError(f"unknown render_backend {backend!r}")
+    return backend
 
 
 def _draw_glyph(image: np.ndarray, corners: np.ndarray, rng: np.random.Generator,
                 ink: int, stroke_prob: float = 0.25) -> None:
-    """Render a real (Hershey-font) glyph warped into the char quad; with
-    ``stroke_prob`` fall back to random strokes for mark variety."""
-    if rng.uniform() < stroke_prob:
-        _draw_strokes(image, corners, rng, ink)
-        return
-
-    glyph = _GLYPH_CHARS[int(rng.integers(0, len(_GLYPH_CHARS)))]
-    font = _GLYPH_FONTS[int(rng.integers(0, len(_GLYPH_FONTS)))]
-    thickness = int(rng.integers(1, 3))
-    tile = np.zeros((_TILE, _TILE), dtype=np.uint8)
-    try:
-        scale = cv2.getFontScaleFromHeight(font & 0xF, _TILE - 10, thickness)
-    except Exception:  # pragma: no cover - very old cv2
-        scale = 0.8
-    cv2.putText(
-        tile, glyph, (3, _TILE - 6), font, scale, 255, thickness, cv2.LINE_AA
-    )
-
-    # Warp the upright tile into the quad (ROI-local, cheap).
-    xs, ys = corners[:, 0], corners[:, 1]
-    x0 = max(0, int(math.floor(xs.min())))
-    y0 = max(0, int(math.floor(ys.min())))
-    x1 = min(image.shape[1], int(math.ceil(xs.max())) + 1)
-    y1 = min(image.shape[0], int(math.ceil(ys.max())) + 1)
-    if x1 - x0 < 2 or y1 - y0 < 2:
-        return
-    src = np.asarray(
-        [[0, 0], [_TILE, 0], [_TILE, _TILE], [0, _TILE]], dtype=np.float32
-    )
-    dst = (corners - np.asarray([[x0, y0]], dtype=np.float32)).astype(np.float32)
-    mat = cv2.getPerspectiveTransform(src, dst)
-    alpha = cv2.warpPerspective(
-        tile, mat, (x1 - x0, y1 - y0), flags=cv2.INTER_LINEAR
-    ).astype(np.float32) / 255.0
-    roi = image[y0:y1, x0:x1].astype(np.float32)
-    blended = roi * (1.0 - alpha[..., None]) + float(ink) * alpha[..., None]
-    image[y0:y1, x0:x1] = np.clip(blended, 0, 255).astype(np.uint8)
+    """Render a glyph (or stroke marks) into the char quad — python
+    backend; kept as the single-char entry point for tests/tools."""
+    _raster_commands_python(image, _glyph_commands(corners, rng, ink, stroke_prob))
 
 
 def _draw_background_artifacts(
@@ -254,12 +351,14 @@ def _apply_page_perspective(
 
 
 def generate_page(config: SynthPageConfig, rng: np.random.Generator) -> SynthPage:
+    backend = _resolve_backend(config.render_backend)
     h, w = config.page_height, config.page_width
     bg = int(rng.integers(config.background_gray_min, config.background_gray_max + 1))
     image = np.full((h, w, 3), bg, dtype=np.uint8)
     noise = rng.normal(0.0, config.noise_sigma, size=(h, w, 1))
     image = np.clip(image.astype(np.float32) + noise, 0, 255).astype(np.uint8)
     _draw_background_artifacts(image, config, rng)
+    draw_buffer: list = []
 
     lines: List[TextLine] = []
     chars: List[CharInstance] = []
@@ -314,7 +413,11 @@ def generate_page(config: SynthPageConfig, rng: np.random.Generator) -> SynthPag
                     or corners[:, 1].max() >= h
                 ):
                     continue
-                _draw_glyph(image, corners, rng, ink, config.glyph_stroke_prob)
+                cmds = _glyph_commands(corners, rng, ink, config.glyph_stroke_prob)
+                if backend == "native":
+                    draw_buffer.extend(cmds)
+                else:
+                    _raster_commands_python(image, cmds)
                 line_chars.append(CharInstance(corners=corners, height=ch))
             if line_chars:
                 lines.append(TextLine(chars=line_chars, char_height=ch))
@@ -322,6 +425,9 @@ def generate_page(config: SynthPageConfig, rng: np.random.Generator) -> SynthPag
             lines_left -= 1
             if lines_left <= 0:
                 break
+
+    if backend == "native" and draw_buffer:
+        _raster_commands_native(image, draw_buffer)
 
     if rng.uniform() < config.perspective_prob:
         image = _apply_page_perspective(image, chars, config, rng, bg)
@@ -334,6 +440,7 @@ def render_char_labels(
     shape: Tuple[int, int],
     downsample_factor: int,
     gaussian_sigma_ratio: float = 0.25,
+    backend: str = "python",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Render (downsampled) label maps for chars given in *crop* coords.
 
@@ -344,6 +451,16 @@ def render_char_labels(
     """
     f = downsample_factor
     dh, dw = shape[0] // f, shape[1] // f
+    if _resolve_backend(backend) == "native" and chars:
+        from .. import native
+
+        quads = np.stack([c.corners / f for c in chars]).astype(np.float32)
+        heights = np.asarray([c.height for c in chars], np.float32)
+        centers = np.stack([c.center / f for c in chars]).astype(np.float32)
+        sigmas = np.maximum(
+            0.7, gaussian_sigma_ratio * heights / f
+        ).astype(np.float32)
+        return native.render_labels_native((dh, dw), quads, heights, centers, sigmas)
     mask = np.zeros((dh, dw), dtype=np.uint8)
     height_map = np.zeros((dh, dw), dtype=np.float32)
     gaussian = np.zeros((dh, dw), dtype=np.float32)
