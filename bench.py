@@ -390,10 +390,14 @@ def bench_train_loop_e2e(num_batches=30, batch_size=4, num_processes=8):
         )
 
     pf = BatchPrefetcher(make_batch, depth=3)
-    # Compile + warm the pool.
+    # Compile + warm the pool. Stage stamps: the train-step compile via the
+    # TPU tunnel can take many minutes on first run (then cached).
+    print("# config6: first batch...", file=sys.stderr, flush=True)
     rough, precise = pf.get()
+    print("# config6: compiling train step...", file=sys.stderr, flush=True)
     state, m = step(state, key, rough, precise)
     float(m["rough_loss"])
+    print("# config6: timed loop...", file=sys.stderr, flush=True)
     pf.reset_stall_accounting()
     t0 = time.perf_counter()
     for _ in range(num_batches):
