@@ -1,0 +1,155 @@
+"""Detection-quality evaluation of a trained checkpoint on HELD-OUT pages.
+
+Drives the full two-stage pipeline (rough -> flatten/rescale/stack ->
+precise -> polar build -> remap -> NMS) over freshly generated synthetic
+pages whose rng stream is disjoint from the training/dev streams, and
+reports char-level precision/recall/F1 (polygon IoU matching) plus rough
+mask IoU and height-map calibration. This is the measurement the reference
+never makes (its demo driver renders JPEGs for eyeballing,
+experiment/adaptive_scaling/demo.py:178-220).
+
+Usage:
+  python -m adascale.tools.eval_checkpoint --run <train_output_dir> \
+      --model-config model.json [--steps steps.json] [--num-pages 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import tempfile
+from typing import Optional
+
+
+def find_latest_checkpoint(run_dir: str) -> str:
+    """Highest-epoch checkpoint dir (best ones preferred on ties)."""
+    best = (-1, 1, None)  # (epoch, not_best_rank, path) — lower rank wins
+    for name in os.listdir(run_dir):
+        m = re.fullmatch(r"state_(\d+)(_not_best)?", name)
+        if not m:
+            continue
+        epoch = int(m.group(1))
+        rank = 1 if m.group(2) else 0
+        cand = (epoch, -rank)
+        if cand > (best[0], -best[1]):
+            best = (epoch, rank, os.path.join(run_dir, name))
+    if best[2] is None:
+        raise FileNotFoundError(f"no state_<N> checkpoints under {run_dir}")
+    return best[2]
+
+
+def evaluate(
+    checkpoint_path: str,
+    model_config_json: str,
+    steps_json: Optional[str] = None,
+    num_pages: int = 20,
+    heldout_seed: int = 9999,
+    compute_dtype: str = "float32",
+    page_size: int = 768,
+) -> dict:
+    import numpy as np
+
+    from ..data.dataset import SynthPipelineConfig
+    from ..data.synth import SynthPageConfig, generate_page
+    from ..inference import (
+        AdaptiveScalingInference,
+        AdaptiveScalingInferenceConfig,
+    )
+    from ..inference.eval import evaluate_char_detection, evaluate_rough_mask
+    from ..models import AdaptiveScalingConfig
+    from ..training.loop import export_inference_artifact
+    from ..utils.config import load_config
+
+    if steps_json is not None:
+        page_config = load_config(steps_json, SynthPipelineConfig).page
+    else:
+        page_config = SynthPageConfig(page_height=page_size, page_width=page_size)
+
+    artifact = export_inference_artifact(
+        checkpoint_path, tempfile.mkdtemp(prefix="adascale_eval_"), model_config_json
+    )
+    engine = AdaptiveScalingInference(
+        AdaptiveScalingInferenceConfig(
+            checkpoint=os.path.join(artifact, "params"),
+            model=load_config(model_config_json, AdaptiveScalingConfig),
+            compute_dtype=compute_dtype,
+            matmul_precision="highest" if compute_dtype == "float32" else "default",
+        )
+    )
+
+    tp = fp = fn = 0
+    mious, herrs = [], []
+    for i in range(num_pages):
+        page = generate_page(page_config, np.random.default_rng([heldout_seed, i]))
+        if not page.chars:
+            continue
+        result = engine.detect(page.image)
+        m = evaluate_char_detection(
+            result["char_polygons"], [c.corners for c in page.chars], iou_thr=0.5
+        )
+        tp += m.num_matched
+        fp += m.num_pred - m.num_matched
+        fn += m.num_gt - m.num_matched
+        rough = result["rough"]
+        mious.append(
+            evaluate_rough_mask(
+                rough.rough_char_mask,
+                page.chars,
+                page.image.shape[:2],
+                valid_shape=rough.resized_shape,
+            )
+        )
+        hm = rough.rough_char_height_score_map
+        if np.any(hm > 0):
+            # Height calibration in the RESIZED frame the head predicts in.
+            scale = rough.resized_image_shape[0] / page.image.shape[0]
+            gt_med = float(np.median([c.height for c in page.chars])) * scale
+            herrs.append(abs(float(np.median(hm[hm > 0])) - gt_med) / max(gt_med, 1e-6))
+
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    return {
+        "checkpoint": checkpoint_path,
+        "num_pages": num_pages,
+        "char_precision": round(precision, 4),
+        "char_recall": round(recall, 4),
+        "char_f1": round(f1, 4),
+        "rough_mask_miou": round(float(np.mean(mious)), 4) if mious else None,
+        "height_median_rel_err": round(float(np.mean(herrs)), 4) if herrs else None,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--run", help="training output folder (picks latest state_<N>)")
+    parser.add_argument("--checkpoint", help="explicit checkpoint dir")
+    parser.add_argument("--model-config", required=True)
+    parser.add_argument("--steps", help="synth pipeline steps.json for the page spec")
+    parser.add_argument("--num-pages", type=int, default=20)
+    parser.add_argument("--seed", type=int, default=9999)
+    parser.add_argument("--compute-dtype", default="float32")
+    args = parser.parse_args()
+
+    import jax
+
+    cache = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    ckpt = args.checkpoint or find_latest_checkpoint(args.run)
+    result = evaluate(
+        ckpt,
+        args.model_config,
+        steps_json=args.steps,
+        num_pages=args.num_pages,
+        heldout_seed=args.seed,
+        compute_dtype=args.compute_dtype,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

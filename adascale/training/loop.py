@@ -100,9 +100,17 @@ class DatasetConfig:
 
 def _clean_batch(batch: Dict) -> Dict:
     """Keep only array leaves for the jitted step (shape/core-box/rng-state
-    metadata are static or host-side)."""
+    metadata are static or host-side). Images travel to the device as uint8
+    — they are integral 0-255 by construction (synth pages are uint8, the
+    collate float cast is lossless) and the train/eval steps cast to the
+    compute dtype on device, so host->device bytes drop 4x."""
     drop = {"downsampled_shape", "downsampled_core_box", "rng_states"}
-    return {k: v for k, v in batch.items() if k not in drop}
+    out = {}
+    for k, v in batch.items():
+        if k in drop:
+            continue
+        out[k] = v.astype(np.uint8) if k == "image" else v
+    return out
 
 
 def _core_boxes_from_pipeline(pipeline: SynthPipelineConfig) -> Tuple[CoreBox, CoreBox]:

@@ -73,6 +73,16 @@ def _two_task_loss(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     rough_rng, precise_rng = jax.random.split(rng)
 
+    # Accept uint8 images (4x cheaper host->device; see loop._clean_batch)
+    # by casting to f32 on device — the model then casts to its compute
+    # dtype. No-op for float inputs.
+    if rough_batch["image"].dtype != jnp.float32:
+        rough_batch = {**rough_batch, "image": rough_batch["image"].astype(jnp.float32)}
+    if precise_batch["image"].dtype != jnp.float32:
+        precise_batch = {
+            **precise_batch, "image": precise_batch["image"].astype(jnp.float32)
+        }
+
     backbone_spec = None
     if config.fused_backbone:
         from ..models.convnext import CONVNEXT_PRESETS
@@ -249,6 +259,11 @@ def make_grad_inspection_fn(model, config: TrainStepConfig) -> Callable:
     abs-mean/std over the *shared* parameters, computed functionally."""
 
     def inspect(params, rng, rough_batch, precise_batch):
+        rough_batch = {**rough_batch, "image": rough_batch["image"].astype(jnp.float32)}
+        precise_batch = {
+            **precise_batch, "image": precise_batch["image"].astype(jnp.float32)
+        }
+
         def rough_only(p):
             mask_feat, height_feat = model.apply(
                 {"params": p}, rough_batch["image"], True, method=model.forward_rough

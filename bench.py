@@ -431,6 +431,9 @@ def main() -> None:
     if cfg == "4b8":
         bench_train_step(1, per_device_batch=8, dtype=jnp.bfloat16)
         return
+    if cfg == "4fb":
+        bench_train_step(1, fused=True, dtype=jnp.bfloat16)
+        return
     if cfg == "6":
         bench_train_loop_e2e()
         return
