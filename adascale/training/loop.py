@@ -169,8 +169,10 @@ def train(
         logger.info("%s: %s", name, config_to_dict(cfg))
         dump_config(cfg, os.path.join(out_fd, f"{name}.json"))
 
-    key = setup_seeds(jax_seed=epoch_config.jax_seed)
-
+    # NOTE: setup_seeds creates the root PRNGKey (further down) which
+    # initializes the JAX backend and its threads; the dataset pools must
+    # FORK BEFORE that happens (os.fork of a multithreaded process risks
+    # deadlock in the children), so datasets are constructed first.
     train_num_samples = calculate_iterable_dataset_num_samples(
         epoch_config.train_batch_size, epoch_config.train_num_batches
     )
@@ -246,6 +248,8 @@ def train(
     train_dataset = build_train_dataset(
         epoch_to_steps_json.get(0), epoch_to_rng_seed.get(0, epoch_config.train_rng_seed)
     )
+
+    key = setup_seeds(jax_seed=epoch_config.jax_seed)
 
     # Model + optimizer. compute_dtype only changes activation dtype;
     # params (init) and optimizer state are always float32.
