@@ -247,3 +247,91 @@ def test_engine_rough_chain_parity_vs_host_reference():
     # Height map: ignore pixels sitting at the 3.0-floor decision boundary.
     diff = np.abs(j_height - t_height)
     assert float(diff[~floor_band].max()) <= 1e-3
+
+
+def test_engine_precise_chain_parity_vs_host_reference():
+    """Precise-stage chain: on-device pad /32 -> forward_precise ->
+    sigmoid/softmax -> pad-zeroing -> reduce_window peak-pick vs the host
+    composition of numpy pad + torch + scipy maximum_filter (reference
+    inferencing/adaptive_scaling.py:295-396,467-491)."""
+    torch = pytest.importorskip("torch")
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
+
+    from adascale.inference import (
+        AdaptiveScalingInference,
+        AdaptiveScalingInferenceConfig,
+    )
+
+    tmodel = _build_micro_torch("fpn")
+    params = adaptive_scaling_params_from_torch(tmodel.state_dict(), "fpn")
+    model_cfg = AdaptiveScalingConfig(
+        size=AdaptiveScalingSize.TINY,
+        neck_head_type=AdaptiveScalingNeckHeadType.FPN,
+        custom_block_channels_and_num_layers=MICRO_SPEC,
+    )
+
+    from adascale.data.synth import SynthPageConfig, generate_page
+
+    page = generate_page(
+        SynthPageConfig(page_height=460, page_width=300),
+        np.random.default_rng(4),
+    )
+    stacked = page.image  # stand-in for a stacked-regions image, non-/32 dims
+
+    # Random-init logits hover around 0 -> drop the peak threshold so the
+    # peak-pick comparison actually sees peaks.
+    thr = 0.45
+
+    # ---- host reference composition.
+    h, w = stacked.shape[:2]
+    ph = math.ceil(h / 32) * 32
+    pw = math.ceil(w / 32) * 32
+    padded = np.zeros((ph, pw, 3), np.float32)
+    padded[:h, :w] = stacked.astype(np.float32)
+    x = torch.from_numpy(np.transpose(padded, (2, 0, 1))[None])
+    with torch.no_grad():
+        t_prob_l, t_off, t_angle_l, t_dist = tmodel.forward_precise(x)
+    t_prob = torch.sigmoid(t_prob_l)[0, 0].numpy().astype(np.float32)
+    t_angle = torch.softmax(t_angle_l, dim=1)[0].numpy().transpose(1, 2, 0)
+    t_off = t_off[0].numpy().transpose(1, 2, 0)
+    t_dist = t_dist[0].numpy().transpose(1, 2, 0)
+    fdf = 2
+    vh, vw = math.ceil(h / fdf), math.ceil(w / fdf)
+    t_prob[vh:] = 0.0
+    t_prob[:, vw:] = 0.0
+    t_peaks = (
+        (scipy_ndimage.maximum_filter(t_prob, size=5) == t_prob) & (t_prob >= thr)
+    ).astype(np.uint8)
+
+    # ---- on-device engine chain.
+    engine = AdaptiveScalingInference(
+        AdaptiveScalingInferenceConfig(
+            model=model_cfg,
+            shape_bucket=32,
+            matmul_precision="highest",
+            precise_build_polygons_positive_char_prob_thr=thr,
+        ),
+        params=params,
+    )
+    result = engine.precise_infer(stacked)
+    j_prob = result.precise_char_prob_score_map
+    assert j_prob.shape == t_prob.shape
+    np.testing.assert_allclose(j_prob, t_prob, atol=1e-3)
+    np.testing.assert_allclose(
+        result.precise_np_char_up_left_corner_offset, t_off, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        result.precise_np_char_corner_angle_distribution, t_angle, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        result.precise_np_char_corner_distance, t_dist, atol=1e-3
+    )
+    # Peak sets must agree except where the decision is numerically
+    # ambiguous (prob at the threshold, or a near-tie in the 5x5 window).
+    disagree = result.precise_peak_mask != t_peaks
+    window_max = scipy_ndimage.maximum_filter(t_prob, size=5)
+    ambiguous = (np.abs(t_prob - thr) < 5e-3) | (
+        (window_max - t_prob) < 5e-3
+    ) & (t_prob > 0)
+    assert np.all(~disagree | ambiguous), int(np.sum(disagree & ~ambiguous))
+    assert t_peaks.sum() > 0  # the comparison saw actual peaks
