@@ -415,6 +415,37 @@ def bench_train_loop_e2e(num_batches=30, batch_size=4, num_processes=8):
     )
 
 
+def bench_datagen(runs=20):
+    """Host synth-data throughput, python vs native rasterizer (the
+    flagship-recipe pipeline: 768px pages, 4 rough + 6 precise crops)."""
+    from adascale.data.dataset import SynthPipelineConfig, run_pipeline
+    from adascale.data.synth import SynthPageConfig
+
+    results = {}
+    for backend in ("python", "native"):
+        pipe = SynthPipelineConfig(
+            page=SynthPageConfig(
+                page_height=768, page_width=768, render_backend=backend
+            ),
+            rough_crop_size=512,
+            precise_crop_size=320,
+            rough_samples_per_page=4,
+            precise_samples_per_page=6,
+        )
+        try:
+            run_pipeline(pipe, 7, 0)  # warm (builds the native lib/atlas)
+        except AssertionError:
+            continue  # native lib unavailable
+        t0 = time.perf_counter()
+        pairs = 0
+        for i in range(runs):
+            rough, precise = run_pipeline(pipe, 7, i)
+            pairs += min(len(rough), len(precise))
+        results[backend] = pairs / (time.perf_counter() - t0)
+    for backend, rate in results.items():
+        _emit(f"datagen_pairs_per_sec_{backend}", rate, "pairs/s")
+
+
 def main() -> None:
     cfg = None
     if len(sys.argv) > 2 and sys.argv[1] == "--config":
@@ -436,6 +467,9 @@ def main() -> None:
         return
     if cfg == "6":
         bench_train_loop_e2e()
+        return
+    if cfg == "7":
+        bench_datagen()
         return
     cfg = int(cfg)
     if cfg == 1:
