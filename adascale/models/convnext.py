@@ -76,9 +76,16 @@ class ConvNeXtBlockLayer(nn.Module):
         scale = self.param(
             "block_scale", nn.initializers.constant(1e-6), (c,), jnp.float32
         )
-        y = y * scale.astype(y.dtype)
+        # The residual STREAM stays f32 even under bf16 compute: with the
+        # reference's layer-scale init of 1e-6 (convnext.py:38) the block
+        # contribution is ~1e-5 of the carry, far below bf16's ~3
+        # significant digits — a bf16 residual add rounds it away entirely
+        # and training from scratch flatlines (observed on hardware).
+        # Convs/matmuls above still run in the module dtype (MXU bf16);
+        # flax casts the f32 carry down on entry to each op. No-op at f32.
+        y = y.astype(jnp.float32) * scale
         y = DropPath(self.prob_bypass, name="drop_path")(y, deterministic)
-        return x + y
+        return x.astype(jnp.float32) + y
 
 
 class ConvNeXtStage(nn.Module):

@@ -186,6 +186,45 @@ def test_train_step_single_device():
     assert np.isfinite(float(em["rough_loss"]))
 
 
+def test_bf16_backbone_receives_gradient_signal():
+    """Regression: under bf16 compute the residual stream must stay f32 —
+    with layer-scale init 1e-6 a bf16 residual add rounds the block
+    contribution away, the forward stops depending on the block params,
+    and backbone MLP grads vanish (observed as a hardware training
+    flatline). Pin: one step must move the deepest block's mlp weights by
+    an amount comparable to the f32 step."""
+    rng_np = np.random.default_rng(0)
+    rough, precise = _micro_batches(rng_np, b=2)
+    key = setup_seeds()
+
+    def mlp_delta(dtype):
+        config = AdaptiveScalingConfig(
+            size=AdaptiveScalingSize.TINY,
+            neck_head_type=AdaptiveScalingNeckHeadType.FPN,
+            custom_block_channels_and_num_layers=((8, 1), (16, 1), (32, 1), (64, 1)),
+        )
+        model = AdaptiveScaling(config=config, dtype=dtype)
+        params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+        tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+        state = TrainState(params=params, opt_state=tx.init(params))
+        step = make_train_step(model, tx, _step_config(), donate=False)
+        state2, _ = step(state, key, rough, precise)
+
+        def pick(tree):
+            node = tree["backbone"]
+            # deepest stage's first layer's mlp_up kernel
+            stage = node[sorted(k for k in node if k.startswith("stage"))[-1]]
+            layer = stage[sorted(k for k in stage if k.startswith("layer"))[0]]
+            return layer["mlp_up"]["kernel"]
+
+        return float(jnp.abs(pick(state2.params) - pick(state.params)).mean())
+
+    d32 = mlp_delta(jnp.float32)
+    d16 = mlp_delta(jnp.bfloat16)
+    assert d32 > 0
+    assert d16 > 0.2 * d32, (d16, d32)
+
+
 def test_train_step_hybrid_mesh_2x4():
     """Multi-slice layout: (dcn=2, data=4) hybrid mesh — grad reduction
     decomposes hierarchically; losses must match the plain single-device
