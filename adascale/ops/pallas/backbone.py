@@ -101,7 +101,13 @@ def convnext_forward_pallas_train(
     """Differentiable twin of ``convnext_forward_pallas``: fused Pallas
     block forwards with recompute-based XLA backwards, plus the Flax
     backbone's scheduled stochastic depth (adascale/models/convnext.py:
-    99-106) applied around each fused block."""
+    99-106) applied around each fused block.
+
+    Runs in f32 regardless of input dtype: the kernel's residual add at
+    the layer-scale-1e-6 init underflows in bf16 (training flatlines —
+    see the f32-residual-stream note in models/convnext.py), and measured
+    on v5e the fused path only beats XLA at f32 anyway (BASELINE.md)."""
+    x = x.astype(jnp.float32)
     specs = tuple(block_channels_and_num_layers)
     block = make_trainable_block(tile_h=tile_h, interpret=interpret)
     stem_k = 2 if stem_use_pconv2x2 else 4
