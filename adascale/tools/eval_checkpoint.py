@@ -103,8 +103,17 @@ def evaluate(
         hm = rough.rough_char_height_score_map
         if np.any(hm > 0):
             # Height calibration in the RESIZED frame the head predicts in.
+            # The prediction median is over PIXELS, so weight each GT char
+            # by its area (big chars cover quadratically more pixels) to
+            # compare like with like.
             scale = rough.resized_image_shape[0] / page.image.shape[0]
-            gt_med = float(np.median([c.height for c in page.chars])) * scale
+            heights = np.asarray([c.height for c in page.chars])
+            widths = np.asarray(
+                [np.linalg.norm(c.corners[1] - c.corners[0]) for c in page.chars]
+            )
+            order = np.argsort(heights)
+            cum = np.cumsum((heights * widths)[order])
+            gt_med = float(heights[order][np.searchsorted(cum, cum[-1] / 2)]) * scale
             herrs.append(abs(float(np.median(hm[hm > 0])) - gt_med) / max(gt_med, 1e-6))
 
     precision = tp / max(tp + fp, 1)

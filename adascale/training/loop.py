@@ -100,16 +100,24 @@ class DatasetConfig:
 
 def _clean_batch(batch: Dict) -> Dict:
     """Keep only array leaves for the jitted step (shape/core-box/rng-state
-    metadata are static or host-side). Images travel to the device as uint8
-    — they are integral 0-255 by construction (synth pages are uint8, the
-    collate float cast is lossless) and the train/eval steps cast to the
-    compute dtype on device, so host->device bytes drop 4x."""
+    metadata are static or host-side), compacted for transfer: images as
+    uint8 (integral 0-255 by construction), 0/1 masks as uint8, dense
+    score maps as float16 (heights ~1e-3 relative rounding, far below the
+    label noise). The train/eval steps up-cast everything to f32 on
+    device. Besides the 4x bandwidth saving, small transfers matter here
+    because the experimental tunnel client leaks every H2D staging buffer
+    (~bytes-per-step of host RSS per step; see launch.py auto-restart)."""
     drop = {"downsampled_shape", "downsampled_core_box", "rng_states"}
     out = {}
     for k, v in batch.items():
         if k in drop:
             continue
-        out[k] = v.astype(np.uint8) if k == "image" else v
+        if k == "image" or k == "downsampled_mask":
+            out[k] = v.astype(np.uint8)
+        elif k == "downsampled_score_map":
+            out[k] = v.astype(np.float16)
+        else:
+            out[k] = v
     return out
 
 

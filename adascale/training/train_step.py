@@ -62,6 +62,22 @@ class TrainStepConfig:
     fused_backbone: bool = False
 
 
+def _upcast_batch(batch):
+    """Up-cast compact-transfer arrays (uint8 images/masks, f16 score
+    maps) to f32 on device; integer label-point indices stay integer."""
+    out = {}
+    for k, v in batch.items():
+        if jnp.issubdtype(v.dtype, jnp.integer) and k.startswith(
+            "downsampled_label_point"
+        ):
+            out[k] = v
+        elif v.dtype != jnp.float32:
+            out[k] = v.astype(jnp.float32)
+        else:
+            out[k] = v
+    return out
+
+
 def _two_task_loss(
     model,
     params,
@@ -73,15 +89,11 @@ def _two_task_loss(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     rough_rng, precise_rng = jax.random.split(rng)
 
-    # Accept uint8 images (4x cheaper host->device; see loop._clean_batch)
-    # by casting to f32 on device — the model then casts to its compute
-    # dtype. No-op for float inputs.
-    if rough_batch["image"].dtype != jnp.float32:
-        rough_batch = {**rough_batch, "image": rough_batch["image"].astype(jnp.float32)}
-    if precise_batch["image"].dtype != jnp.float32:
-        precise_batch = {
-            **precise_batch, "image": precise_batch["image"].astype(jnp.float32)
-        }
+    # Accept compact-transfer batches (uint8 images/masks, f16 score maps
+    # — see loop._clean_batch) by up-casting everything but the integer
+    # label indices to f32 on device. No-op for f32 inputs.
+    rough_batch = _upcast_batch(rough_batch)
+    precise_batch = _upcast_batch(precise_batch)
 
     backbone_spec = None
     if config.fused_backbone:
@@ -259,10 +271,8 @@ def make_grad_inspection_fn(model, config: TrainStepConfig) -> Callable:
     abs-mean/std over the *shared* parameters, computed functionally."""
 
     def inspect(params, rng, rough_batch, precise_batch):
-        rough_batch = {**rough_batch, "image": rough_batch["image"].astype(jnp.float32)}
-        precise_batch = {
-            **precise_batch, "image": precise_batch["image"].astype(jnp.float32)
-        }
+        rough_batch = _upcast_batch(rough_batch)
+        precise_batch = _upcast_batch(precise_batch)
 
         def rough_only(p):
             mask_feat, height_feat = model.apply(
