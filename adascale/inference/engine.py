@@ -74,6 +74,18 @@ class AdaptiveScalingInferenceConfig:
     # imperfectly-remapped duplicates suppressed while never merging
     # genuinely adjacent chars (char quads are disjoint).
     dedup_char_polygons_iou_thr: Optional[float] = 0.3
+    # Peak-to-region ownership gating (the stronger duplicate fix): gate
+    # each region's peaks to its OWN polygon dilated by this small ratio
+    # (carried through the flattening transform as flattened_core_mask)
+    # instead of the full 0.8-dilated crop mask. Boundary chars then get
+    # claimed exactly once — by the region whose rough polygon produced
+    # them — instead of once per overlapping crop; chars cut by a
+    # neighbouring crop's boundary stop emitting broken quads. None
+    # restores the reference behavior (gate to the dilated mask,
+    # :467-524, which ships the duplicates). Measured on the overfit
+    # fixture (4 pages): chain F1 0.553 -> 0.757, precision 0.45 -> 0.80,
+    # recall 0.73 -> 0.72 (sweep 0.1/0.2/0.4: 0.743/0.754/0.757).
+    precise_peak_gate_core_dilate_ratio: Optional[float] = 0.4
     # TPU-native knobs.
     shape_bucket: int = 64
     matmul_precision: str = "highest"  # 'highest' = fp32 parity; 'default' = fast bf16
@@ -330,6 +342,7 @@ class AdaptiveScalingInference:
             ),
             image=image,
             text_region_polygons=text_region_polygons,
+            core_gate_dilate_ratio=cfg.precise_peak_gate_core_dilate_ratio,
         )
         regions = flattener.flattened_text_regions
 
@@ -499,8 +512,15 @@ class AdaptiveScalingInference:
         for region, box in zip(flattened_text_regions, boxes):
             dbox = box.to_resized_box(precise.padded_image_shape, (fh, fw))
             dbox = dbox.clamp_to((fh, fw))
+            # Gate to the region's core (ownership) mask when available;
+            # the full dilated mask deliberately overlaps neighbours.
+            gate = (
+                region.flattened_core_mask
+                if region.flattened_core_mask is not None
+                else region.flattened_mask
+            )
             region_mask = cv2.resize(
-                region.flattened_mask,
+                gate,
                 (dbox.width, dbox.height),
                 interpolation=cv2.INTER_NEAREST,
             )

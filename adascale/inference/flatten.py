@@ -38,6 +38,14 @@ class FlattenedTextRegion:
     flattened_mask: np.ndarray  # (h, w) uint8
     is_typical: bool
     post_rotate_angle: int = 0
+    # Mask of the region's *own* (undilated, or mildly dilated) polygon in
+    # flattened coords. Peaks are gated to this instead of flattened_mask:
+    # the 0.8-dilated crop deliberately includes neighbouring regions' chars
+    # for context, and gating peaks to the full dilated mask detects each
+    # boundary char once per region (the reference ships those duplicates,
+    # inferencing/adaptive_scaling.py:467-524). None = fall back to
+    # flattened_mask.
+    flattened_core_mask: Optional[np.ndarray] = None
 
     @property
     def height(self) -> int:
@@ -66,7 +74,14 @@ class FlattenedTextRegion:
             (resized_width, resized_height),
             interpolation=cv2.INTER_NEAREST,
         )
-        return dataclasses.replace(self, flattened_image=image, flattened_mask=mask)
+        core = self.flattened_core_mask
+        if core is not None:
+            core = cv2.resize(
+                core, (resized_width, resized_height), interpolation=cv2.INTER_NEAREST
+            )
+        return dataclasses.replace(
+            self, flattened_image=image, flattened_mask=mask, flattened_core_mask=core
+        )
 
 
 def _long_side_angle(polygon: Polygon) -> Tuple[float, float]:
@@ -102,7 +117,13 @@ class TextRegionFlattener:
         text_region_polygon_dilate_ratio: float,
         image: np.ndarray,  # (H, W, 3) uint8, page
         text_region_polygons: Sequence[Polygon],
+        core_gate_dilate_ratio: Optional[float] = None,
     ):
+        """``core_gate_dilate_ratio``: when set, each region also carries a
+        ``flattened_core_mask`` — its own polygon dilated by this (smaller)
+        ratio, pushed through the same rotate/trim transform — so peak
+        gating can claim only the region's own chars (duplicate fix,
+        VERDICT r2 #4)."""
         self.flattened_text_regions: List[FlattenedTextRegion] = []
         page_shape = image.shape[:2]
 
@@ -115,6 +136,12 @@ class TextRegionFlattener:
             crop = box.extract(image)
             rel_dilated = dilated.to_relative_polygon(box.up, box.left)
             mask = rel_dilated.fill_mask(box.shape)
+            core_mask = None
+            if core_gate_dilate_ratio is not None:
+                core = polygon.to_dilated_polygon(core_gate_dilate_ratio)
+                core_mask = core.to_relative_polygon(box.up, box.left).fill_mask(
+                    box.shape
+                )
 
             angle, long_ratio = _long_side_angle(polygon)
             is_typical = long_ratio >= typical_long_side_ratio_min
@@ -130,8 +157,13 @@ class TextRegionFlattener:
                 new_h, new_w = rotated_shape(angle, box.shape)
                 rotated = cv2.warpAffine(crop, mat, (new_w, new_h))
                 rotated_mask = cv2.warpAffine(mask, mat, (new_w, new_h))
+                rotated_core = (
+                    cv2.warpAffine(core_mask, mat, (new_w, new_h))
+                    if core_mask is not None
+                    else None
+                )
             else:
-                rotated, rotated_mask = crop, mask
+                rotated, rotated_mask, rotated_core = crop, mask, core_mask
 
             ys, xs = np.nonzero(rotated_mask)
             if len(ys) == 0:
@@ -143,6 +175,11 @@ class TextRegionFlattener:
 
             flattened_image = trimmed_box.extract(rotated).copy()
             flattened_mask = trimmed_box.extract(rotated_mask).copy()
+            flattened_core = (
+                trimmed_box.extract(rotated_core).copy()
+                if rotated_core is not None
+                else None
+            )
 
             self.flattened_text_regions.append(
                 FlattenedTextRegion(
@@ -154,6 +191,7 @@ class TextRegionFlattener:
                     flattened_image=flattened_image,
                     flattened_mask=flattened_mask,
                     is_typical=is_typical,
+                    flattened_core_mask=flattened_core,
                 )
             )
 

@@ -12,7 +12,10 @@ synth generator's rng stream ever changes.
 
 Measured at fixture-creation time (page [42, 0]): rough mask IoU 0.961,
 rough height median == GT median (27.9), char F1@0.5 = 0.564 with
-NMS 0.3. Thresholds below leave margin for platform numerics drift.
+NMS 0.3. Round 3 added core-mask peak gating (each region claims only its
+own chars instead of every char inside its 0.8-dilated crop): 4-page mean
+F1 0.553 -> 0.757 (P 0.45 -> 0.80), page [42, 0] F1 0.80. Thresholds below
+leave margin for platform numerics drift.
 """
 import os
 
@@ -91,7 +94,8 @@ def test_trained_model_detects_characters(engine):
     m = evaluate_char_detection(
         result["char_polygons"], [c.corners for c in page.chars], iou_thr=0.5
     )
-    assert m.f1 >= 0.45, m.as_dict()
+    assert m.f1 >= 0.7, m.as_dict()
+    assert m.precision >= 0.7, m.as_dict()
     assert m.recall >= 0.6, m.as_dict()
     # Scores carried through the remap chain for NMS.
     assert all(p.score is not None and p.score >= 0.7 for p in result["char_polygons"])

@@ -72,6 +72,34 @@ def test_flattener_keeps_flat_regions():
     (region,) = flattener.flattened_text_regions
     assert region.flattening_rotate_angle == 0.0
     assert region.width > region.height
+    assert region.flattened_core_mask is None  # gating off by default here
+
+
+def test_flattener_core_mask_is_tighter_and_survives_transforms():
+    """The ownership (core) mask must be a strict subset of the dilated
+    crop mask, follow the flattening rotation, and resize alongside the
+    region — it is what precise_build_grouped_polygons gates peaks to."""
+    image = np.full((200, 200, 3), 230, dtype=np.uint8)
+    for angle in (0.0, 30.0):
+        poly = _rotated_rect_polygon(100, 100, 120, 20, angle)
+        flattener = TextRegionFlattener(
+            typical_long_side_ratio_min=3.0,
+            text_region_polygon_dilate_ratio=0.8,
+            image=image,
+            text_region_polygons=[poly],
+            core_gate_dilate_ratio=0.2,
+        )
+        (region,) = flattener.flattened_text_regions
+        core, full = region.flattened_core_mask, region.flattened_mask
+        assert core is not None and core.shape == full.shape
+        # Subset (up to rasterization jitter) and strictly smaller.
+        assert int((core & ~full.astype(bool)).sum()) <= int(core.sum()) * 0.02
+        assert 0 < core.sum() < full.sum()
+        resized = region.to_resized_flattened_text_region(
+            region.height * 2, region.width * 2
+        )
+        assert resized.flattened_core_mask.shape == resized.flattened_mask.shape
+        assert resized.flattened_core_mask.sum() > 0
 
 
 def test_stacking_packer():
