@@ -28,6 +28,12 @@ def test_export_and_roundtrip(tmp_path):
     assert (tmp_path / "forward_rough.stablehlo").exists()
     assert (tmp_path / "manifest.json").exists()
 
+    # FPN must export FULLY polymorphic (batch + H + W symbolic) — the
+    # analogue of the reference ONNX dynamic axes (demo.py:233-242).
+    assert manifest["forward_rough"]["polymorphic"] is True
+    assert manifest["forward_rough"]["symbolic_axes"] == "b,h,w"
+    assert manifest["forward_precise"]["symbolic_axes"] == "b,h,w"
+
     x = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (1, 64, 64, 3)).astype(np.float32)
     )
@@ -38,8 +44,29 @@ def test_export_and_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got_mask), np.asarray(want_mask), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_height), np.asarray(want_height), atol=1e-5)
 
-    if manifest["forward_rough"]["polymorphic"]:
-        # Dynamic shapes: a different H/W must run through the same export.
-        x2 = jnp.zeros((2, 128, 64, 3), jnp.float32)
-        m2, h2 = loaded.call(params, x2)
-        assert m2.shape == (2, 64, 32, 1)
+    # Dynamic shapes: a different batch AND H/W must run through the same
+    # serialized artifact.
+    x2 = jnp.zeros((2, 128, 64, 3), jnp.float32)
+    m2, h2 = loaded.call(params, x2)
+    assert m2.shape == (2, 64, 32, 1)
+
+
+def test_export_upernext_dynamic_batch(tmp_path):
+    """UPerNeXt's PPM lowers adaptive-avg-pool to matmuls whose weights are
+    computed from the concrete spatial size (ops/resize.py), so H/W are
+    structurally static — but batch must still export symbolic."""
+    cfg = AdaptiveScalingConfig(
+        size=AdaptiveScalingSize.TINY,
+        neck_head_type=AdaptiveScalingNeckHeadType.UPERNEXT,
+        custom_block_channels_and_num_layers=((8, 1), (16, 1), (32, 1), (64, 1)),
+    )
+    model = AdaptiveScaling(config=cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+
+    manifest = export_stablehlo(params, cfg, str(tmp_path), example_hw=(64, 64))
+    assert manifest["forward_rough"]["symbolic_axes"] == "b"
+    assert "polymorphic_fallback_reason" in manifest["forward_rough"]
+
+    loaded = load_stablehlo(str(tmp_path / "forward_rough.stablehlo"))
+    m2, _ = loaded.call(params, jnp.zeros((3, 64, 64, 3), jnp.float32))
+    assert m2.shape == (3, 32, 32, 1)
