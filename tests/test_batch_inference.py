@@ -51,22 +51,18 @@ def test_detect_many_matches_per_page():
         single = engine.detect(im)
         r_b, r_s = res["rough"], single["rough"]
         vh, vw = r_s.resized_shape
-        # The batch path pads every page to a SHARED bucket; larger padding
-        # changes conv values within the receptive-field band at the
-        # valid-region boundary (pad rows are not exact conv-SAME zeros
-        # after LN/bias). Interior must agree exactly; overall agreement
-        # must be near-total.
-        m = 8  # boundary band in feature px
-        if vh > 2 * m and vw > 2 * m:
-            np.testing.assert_array_equal(
-                r_b.rough_char_mask[m : vh - m, m : vw - m],
-                r_s.rough_char_mask[m : vh - m, m : vw - m],
-            )
-        agree = (
-            r_b.rough_char_mask[:vh, :vw] == r_s.rough_char_mask[:vh, :vw]
-        ).mean()
-        assert agree > 0.97, agree
-        assert "char_polygons" in res
+        # Pages are grouped by their OWN padded bucket (exactly the shape
+        # single-page mode pads to), so the two serving modes must agree
+        # everywhere — masks bit-exact, polygons one-to-one (round 2's
+        # shared max-bucket had a 0.81 polygon-agreement F1; the grouped
+        # path measured 1.0 across mixed page sizes).
+        np.testing.assert_array_equal(
+            r_b.rough_char_mask[:vh, :vw], r_s.rough_char_mask[:vh, :vw]
+        )
+        sp, bp = single["char_polygons"], res["char_polygons"]
+        assert len(sp) == len(bp)
+        for a, b in zip(sp, bp):
+            np.testing.assert_allclose(a.points, b.points, atol=1e-3)
 
 
 def test_detect_many_with_blank_page():
