@@ -113,7 +113,9 @@ def _clean_batch(batch: Dict) -> Dict:
         if k in drop:
             continue
         if k == "image" or k == "downsampled_mask":
-            out[k] = v.astype(np.uint8)
+            # Already uint8 straight out of collate_samples; the cast is a
+            # no-op guard for hand-built f32 batches (copy only if needed).
+            out[k] = v if v.dtype == np.uint8 else v.astype(np.uint8)
         elif k == "downsampled_score_map":
             out[k] = v.astype(np.float16)
         else:
@@ -281,7 +283,7 @@ def train(
     )
 
     mesh = create_mesh() if use_mesh else None
-    train_step = make_train_step(model, tx, step_config, mesh=mesh, donate=False)
+    train_step = make_train_step(model, tx, step_config, mesh=mesh, donate=True)
     eval_step = make_eval_step(model, step_config, mesh=mesh)
     grad_inspect = None
     if epoch_config.enable_multitask_gradiant_inspection:
@@ -336,6 +338,14 @@ def train(
             if mesh is not None:
                 rough_b = shard_batch(rough_b, mesh)
                 precise_b = shard_batch(precise_b, mesh)
+            else:
+                # H2D on the prefetch thread: over the sandbox's RPC tunnel
+                # a transfer inside the main-thread dispatch serializes with
+                # the device step (+~90 ms/step measured at flagship shapes,
+                # tools/train_profile.py --loop-probe); device_put here
+                # overlaps it with step N-1's compute instead.
+                rough_b = jax.device_put(rough_b)
+                precise_b = jax.device_put(precise_b)
             return rough_b, precise_b
 
         return make_batch
@@ -365,6 +375,7 @@ def train(
         logger.info("Training epoch %d ...", epoch_idx)
         if prefetcher is not None:
             prefetcher.reset_stall_accounting()
+        pending_metrics: List[Dict[str, jax.Array]] = []
         epoch_t0 = time.perf_counter()
         batch_iter = iter(train_dataset) if prefetcher is None else None
         for batch_idx in range(1, epoch_config.train_num_batches + 1):
@@ -420,13 +431,21 @@ def train(
                     float(gi["precise_abs_grads_mean"]),
                     float(gi["precise_abs_grads_std"]),
                 )
-            rough_avg = metrics.update(
-                "train_rough_loss", float(step_metrics["rough_loss"])
-            )
-            precise_avg = metrics.update(
-                "train_precise_loss", float(step_metrics["precise_loss"])
-            )
+            # Defer the device->host metric fetch to the logging cadence:
+            # float() blocks on step completion, and paying that sync every
+            # step serializes the pipeline (the scalars themselves cost
+            # ~2.5 ms once ready — train_profile.py --loop-probe). Losses
+            # are tiny scalars, so holding 4 of them costs nothing.
+            pending_metrics.append(step_metrics)
             if batch_idx % 4 == 0 or batch_idx >= epoch_config.train_num_batches:
+                for m in pending_metrics:
+                    rough_avg = metrics.update(
+                        "train_rough_loss", float(m["rough_loss"])
+                    )
+                    precise_avg = metrics.update(
+                        "train_precise_loss", float(m["precise_loss"])
+                    )
+                pending_metrics.clear()
                 logger.info(
                     "E=%d, B=%d/%d, L_rough=%.5f, L_precise=%.5f, L_sum=%.5f",
                     epoch_idx,
