@@ -318,6 +318,11 @@ def train(
     best = {"dev_loss": float("inf"), "rough": float("inf"), "precise": float("inf")}
     last_metrics: Dict[str, float] = {}
 
+    # Host-pipeline phase accounting (seconds spent in each stage of batch
+    # production, reset per epoch): distinguishes generator starvation
+    # ("pull") from collate cost from H2D transfer when diagnosing stalls.
+    prefetch_phase = {"pull": 0.0, "collate": 0.0, "h2d": 0.0, "batches": 0}
+
     def make_batch_fn(dataset):
         """Closure pulling one collated, device-placed batch; runs on the
         prefetch thread so host work overlaps the device step."""
@@ -325,6 +330,7 @@ def train(
 
         def make_batch():
             nonlocal batch_iter
+            t0 = time.perf_counter()
             pairs = []
             for _ in range(epoch_config.train_batch_size):
                 try:
@@ -332,9 +338,11 @@ def train(
                 except StopIteration:
                     batch_iter = iter(dataset)
                     pairs.append(next(batch_iter))
+            t1 = time.perf_counter()
             batch = collate_samples(pairs)
             rough_b = _clean_batch(batch["rough"])
             precise_b = _clean_batch(batch["precise"])
+            t2 = time.perf_counter()
             if mesh is not None:
                 rough_b = shard_batch(rough_b, mesh)
                 precise_b = shard_batch(precise_b, mesh)
@@ -346,6 +354,11 @@ def train(
                 # overlaps it with step N-1's compute instead.
                 rough_b = jax.device_put(rough_b)
                 precise_b = jax.device_put(precise_b)
+            t3 = time.perf_counter()
+            prefetch_phase["pull"] += t1 - t0
+            prefetch_phase["collate"] += t2 - t1
+            prefetch_phase["h2d"] += t3 - t2
+            prefetch_phase["batches"] += 1
             return rough_b, precise_b
 
         return make_batch
@@ -463,9 +476,13 @@ def train(
             epoch_wall = time.perf_counter() - epoch_t0
             stall_pct = 100.0 * prefetcher.stall_seconds / max(epoch_wall, 1e-9)
             logger.info(
-                "E=%d, epoch_wall=%.1fs, data_stall=%.1f%% (%.1fs)",
+                "E=%d, epoch_wall=%.1fs, data_stall=%.1f%% (%.1fs), "
+                "prefetch pull=%.1fs collate=%.1fs h2d=%.1fs over %d batches",
                 epoch_idx, epoch_wall, stall_pct, prefetcher.stall_seconds,
+                prefetch_phase["pull"], prefetch_phase["collate"],
+                prefetch_phase["h2d"], prefetch_phase["batches"],
             )
+            prefetch_phase.update(pull=0.0, collate=0.0, h2d=0.0, batches=0)
 
         # Evaluation (train.py:490-576).
         dev_loss = None
