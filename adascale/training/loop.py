@@ -86,6 +86,11 @@ class EpochConfig:
     # MXU throughput). Params, optimizer state and all loss math stay
     # float32 (the train step casts head outputs up before the losses).
     compute_dtype: str = "float32"
+    # Yield each generated train pair this many times (shuffled replay,
+    # independent P-label re-draws; data/dataset.py sample_reuse). Lifts
+    # the steps/s ceiling on generation-CPU-bound hosts at the cost of
+    # fewer unique pages per epoch. 1 = off.
+    train_sample_reuse: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,6 +257,7 @@ def train(
                 rng_seed=rng_seed,
                 num_processes=epoch_config.train_num_processes,
                 num_cached_runs=max(1, epoch_config.train_num_processes) * 3,
+                sample_reuse=epoch_config.train_sample_reuse,
             )
         )
 

@@ -244,3 +244,64 @@ def test_dataset_train_streaming(tmp_path):
     for rough, precise in pairs:
         assert rough.image.shape == (128, 128, 3)
         assert len(precise.char_labels) == 8
+
+
+def test_sample_reuse_interleaves_repeats(tmp_path):
+    """sample_reuse=2: each generated pair is served ~twice via the shuffled
+    replay buffer (halving generation CPU per consumed pair), with the
+    precise P-label subset re-drawn independently per yield."""
+    from collections import Counter
+
+    cfg = AdaptiveScalingDatasetConfig(
+        steps_json=_steps_json(tmp_path),
+        num_samples=32,
+        num_page_char_regression_labels=8,
+        rng_seed=7,
+        num_cached_runs=2,
+        sample_reuse=2,
+    )
+    ds = AdaptiveScalingIterableDataset(cfg)
+    pairs = list(ds)
+    assert len(pairs) == 32
+
+    rough_counts = Counter(id(r.image) for r, _ in pairs)
+    # Roughly half the stream should be replays (allow scheduling noise and
+    # replays dropped at stream end).
+    num_replayed = sum(v - 1 for v in rough_counts.values())
+    assert 8 <= num_replayed <= 16, dict(rough_counts)
+    # Unique generation work is substantially below the reuse=1 stream.
+    assert len(rough_counts) <= 24
+
+    # A replayed precise sample re-draws its label subset: find a repeat and
+    # check the label lists are independent objects (and almost surely
+    # different draws when the page has more chars than P).
+    by_image = {}
+    for _, p in pairs:
+        by_image.setdefault(id(p.image), []).append(p)
+    repeats = [v for v in by_image.values() if len(v) >= 2]
+    assert repeats
+    a, b = repeats[0][0], repeats[0][1]
+    assert a.char_labels is not b.char_labels
+
+
+def test_sample_reuse_off_stream_unchanged(tmp_path):
+    """reuse=1 must be bit-identical to the historical stream (no extra rng
+    draws) — pinned by comparing against an explicitly-default config."""
+    kwargs = dict(
+        steps_json=_steps_json(tmp_path),
+        num_samples=6,
+        num_page_char_regression_labels=8,
+        rng_seed=19,
+        num_cached_runs=2,
+    )
+    base = list(AdaptiveScalingIterableDataset(AdaptiveScalingDatasetConfig(**kwargs)))
+    off = list(
+        AdaptiveScalingIterableDataset(
+            AdaptiveScalingDatasetConfig(**kwargs, sample_reuse=1)
+        )
+    )
+    for (r0, p0), (r1, p1) in zip(base, off):
+        np.testing.assert_array_equal(r0.image, r1.image)
+        np.testing.assert_array_equal(p0.image, p1.image)
+        for l0, l1 in zip(p0.char_labels, p1.char_labels):
+            assert l0[0] == l1[0] and l0[1] == l1[1]
