@@ -47,6 +47,7 @@ def evaluate(
     heldout_seed: int = 9999,
     compute_dtype: str = "float32",
     page_size: int = 768,
+    direct: bool = True,
 ) -> dict:
     import numpy as np
 
@@ -79,15 +80,29 @@ def evaluate(
     )
 
     tp = fp = fn = 0
+    dtp = dfp = dfn = 0
     mious, herrs = [], []
     for i in range(num_pages):
         page = generate_page(page_config, np.random.default_rng([heldout_seed, i]))
         if not page.chars:
             continue
+        gt_corners = [c.corners for c in page.chars]
+        if direct:
+            # Precise pass straight on the page (no flatten/stack/remap):
+            # isolates model quality from the host geometry chain, so the
+            # report shows chain and direct numbers side by side.
+            pr = engine.precise_infer(page.image)
+            ys, xs = np.nonzero(pr.precise_peak_mask)
+            polys = [
+                engine.precise_build_polygon(pr, int(y), int(x))
+                for y, x in zip(ys, xs)
+            ]
+            dm = evaluate_char_detection(polys, gt_corners, iou_thr=0.5)
+            dtp += dm.num_matched
+            dfp += dm.num_pred - dm.num_matched
+            dfn += dm.num_gt - dm.num_matched
         result = engine.detect(page.image)
-        m = evaluate_char_detection(
-            result["char_polygons"], [c.corners for c in page.chars], iou_thr=0.5
-        )
+        m = evaluate_char_detection(result["char_polygons"], gt_corners, iou_thr=0.5)
         tp += m.num_matched
         fp += m.num_pred - m.num_matched
         fn += m.num_gt - m.num_matched
@@ -116,10 +131,13 @@ def evaluate(
             gt_med = float(heights[order][np.searchsorted(cum, cum[-1] / 2)]) * scale
             herrs.append(abs(float(np.median(hm[hm > 0])) - gt_med) / max(gt_med, 1e-6))
 
-    precision = tp / max(tp + fp, 1)
-    recall = tp / max(tp + fn, 1)
-    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
-    return {
+    def _prf(tp_, fp_, fn_):
+        p = tp_ / max(tp_ + fp_, 1)
+        r = tp_ / max(tp_ + fn_, 1)
+        return p, r, 2 * p * r / max(p + r, 1e-9)
+
+    precision, recall, f1 = _prf(tp, fp, fn)
+    out = {
         "checkpoint": checkpoint_path,
         "num_pages": num_pages,
         "char_precision": round(precision, 4),
@@ -128,6 +146,12 @@ def evaluate(
         "rough_mask_miou": round(float(np.mean(mious)), 4) if mious else None,
         "height_median_rel_err": round(float(np.mean(herrs)), 4) if herrs else None,
     }
+    if direct:
+        dp, dr, df1 = _prf(dtp, dfp, dfn)
+        out["direct_char_precision"] = round(dp, 4)
+        out["direct_char_recall"] = round(dr, 4)
+        out["direct_char_f1"] = round(df1, 4)
+    return out
 
 
 def main() -> None:
@@ -139,6 +163,11 @@ def main() -> None:
     parser.add_argument("--num-pages", type=int, default=20)
     parser.add_argument("--seed", type=int, default=9999)
     parser.add_argument("--compute-dtype", default="float32")
+    parser.add_argument(
+        "--no-direct",
+        action="store_true",
+        help="skip the direct precise-pass comparison (chain metrics only)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -156,6 +185,7 @@ def main() -> None:
         num_pages=args.num_pages,
         heldout_seed=args.seed,
         compute_dtype=args.compute_dtype,
+        direct=not args.no_direct,
     )
     print(json.dumps(result))
 
