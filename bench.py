@@ -205,13 +205,20 @@ def bench_tiled_2048():
 
 def bench_train_step(
     n_devices=1, hw=512, per_device_batch=4, iters=5, micro=False, fused=False,
-    dtype=None,
+    dtype=None, precise_hw=320,
 ):
     """BASELINE configs 4/5: two-task train step, single device or sharded
     over an n-device data mesh. ``fused=True`` routes the backbone through
     the Pallas custom-VJP block (TrainStepConfig.fused_backbone);
     ``dtype=jnp.bfloat16`` benches mixed precision (bf16 compute, f32
-    params/optimizer, f32 losses)."""
+    params/optimizer, f32 losses).
+
+    Shapes default to the flagship operating point (rough crop ``hw``=512,
+    precise crop ``precise_hw``=320 — examples/flagship_training/steps.json).
+    Inputs are generated ON DEVICE and the loop is timed with device-resident
+    batches: rounds 1-2 fed numpy per step, so the "train step" numbers were
+    dominated by ~30 MB/step of tunnel H2D (see BASELINE.md) — the real
+    pipeline overlaps H2D on the prefetch thread (training/loop.py)."""
     from adascale.losses import CoreBox
     from adascale.models import (
         AdaptiveScaling,
@@ -230,6 +237,8 @@ def bench_train_step(
 
     b, p = per_device_batch * n_devices, 200
     fh = hw // 2
+    ph = precise_hw
+    pfh = ph // 2
     model = AdaptiveScaling(
         config=AdaptiveScalingConfig(
             size=AdaptiveScalingSize.TINY,
@@ -240,29 +249,39 @@ def bench_train_step(
         ),
         dtype=dtype or jnp.float32,
     )
-    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 12)
     rough = {
-        "image": rng.uniform(0, 255, (b, hw, hw, 3)).astype(np.float32),
-        "downsampled_mask": (rng.uniform(size=(b, fh, fh)) > 0.5).astype(np.float32),
-        "downsampled_score_map": rng.uniform(0, 10, (b, fh, fh)).astype(np.float32),
+        "image": jax.random.uniform(ks[0], (b, hw, hw, 3), jnp.float32, 0, 255),
+        "downsampled_mask": (
+            jax.random.uniform(ks[1], (b, fh, fh)) > 0.5
+        ).astype(jnp.float32),
+        "downsampled_score_map": jax.random.uniform(
+            ks[2], (b, fh, fh), jnp.float32, 0, 10
+        ),
     }
     precise = {
-        "image": rng.uniform(0, 255, (b, hw, hw, 3)).astype(np.float32),
-        "downsampled_mask": (rng.uniform(size=(b, fh, fh)) > 0.5).astype(np.float32),
-        "downsampled_score_map": rng.uniform(0, 1, (b, fh, fh)).astype(np.float32),
-        "downsampled_label_point_y": rng.integers(0, fh, (b, p)),
-        "downsampled_label_point_x": rng.integers(0, fh, (b, p)),
-        "up_left_offsets": rng.uniform(-4, 4, (b, p, 2)).astype(np.float32),
-        "corner_angles": rng.dirichlet(np.ones(4), size=(b, p)).astype(np.float32),
-        "corner_distances": rng.uniform(0, 10, (b, p, 3)).astype(np.float32),
+        "image": jax.random.uniform(ks[3], (b, ph, ph, 3), jnp.float32, 0, 255),
+        "downsampled_mask": (
+            jax.random.uniform(ks[4], (b, pfh, pfh)) > 0.5
+        ).astype(jnp.float32),
+        "downsampled_score_map": jax.random.uniform(ks[5], (b, pfh, pfh)),
+        "downsampled_label_point_y": jax.random.randint(ks[6], (b, p), 0, pfh),
+        "downsampled_label_point_x": jax.random.randint(ks[7], (b, p), 0, pfh),
+        "up_left_offsets": jax.random.uniform(ks[8], (b, p, 2), jnp.float32, -4, 4),
+        "corner_angles": jax.nn.softmax(
+            jax.random.normal(ks[9], (b, p, 4)), axis=-1
+        ),
+        "corner_distances": jax.random.uniform(ks[10], (b, p, 3), jnp.float32, 0, 10),
     }
-    key = jax.random.PRNGKey(0)
+    jax.block_until_ready(rough["image"])
     params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
     tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=1000)
     state = TrainState(params=params, opt_state=tx.init(params))
-    box = CoreBox(0, fh - 1, 0, fh - 1)
     config = TrainStepConfig(
-        rough_core_box=box, precise_core_box=box, fused_backbone=fused
+        rough_core_box=CoreBox(0, fh - 1, 0, fh - 1),
+        precise_core_box=CoreBox(0, pfh - 1, 0, pfh - 1),
+        fused_backbone=fused,
     )
 
     mesh = None
@@ -295,9 +314,9 @@ def bench_train_step(
     float(m["rough_loss"]) ; float(m["precise_loss"])
     dt = (time.perf_counter() - t0) / iters
     tag = (
-        f"train_step_batch{b}_{hw}px"
+        f"train_step_batch{b}_{hw}r{ph}p"
         if n_devices == 1
-        else f"train_step_dp{n_devices}_batch{b}_{hw}px"
+        else f"train_step_dp{n_devices}_batch{b}_{hw}r{ph}p"
     )
     if fused:
         tag += "_fused"
