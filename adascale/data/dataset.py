@@ -443,6 +443,10 @@ class AdaptiveScalingIterableDataset:
                 self.pool.reset()
                 cached_rough.clear()
                 cached_precise.clear()
+                # A new overfit cycle must repeat exactly the same `reset`
+                # pairs — stale replayed pairs from the previous cycle
+                # would leak in otherwise (ADVICE r3).
+                replay.clear()
             # Serve from the replay buffer with probability (reuse-1)/reuse
             # so fresh pairs make up 1/reuse of the stream on average; the
             # cap forces drainage if the rng runs a fresh streak. The

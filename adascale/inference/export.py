@@ -89,7 +89,7 @@ def export_stablehlo(
             # errors (a ValueError subclass). Anything else is a real bug —
             # let it propagate instead of silently shipping a static
             # artifact (VERDICT r2 missing #2).
-            except (TypeError, ValueError) as e:
+            except (TypeError, ValueError, NotImplementedError) as e:
                 last_error = e
                 continue
         if exported is None:

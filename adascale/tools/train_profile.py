@@ -35,6 +35,9 @@ import numpy as np  # noqa: E402
 
 V5E_PEAK_BF16 = 197e12
 V5E_PEAK_F32 = 99e12
+# Set by main() from --dtype so f32 runs report MFU against the f32 peak
+# (ADVICE r3: backend-only selection overstated f32 MFU 2x).
+_PEAK = None
 
 
 def _time_scan(body_fn, carry, iters, label, want_flops=False):
@@ -64,7 +67,9 @@ def _time_scan(body_fn, carry, iters, label, want_flops=False):
     t0 = time.perf_counter()
     float(np.asarray(compiled(carry)).ravel()[0])
     dt = (time.perf_counter() - t0) / iters
-    peak = V5E_PEAK_BF16 if jax.default_backend() == "tpu" else V5E_PEAK_F32
+    peak = _PEAK or (
+        V5E_PEAK_BF16 if jax.default_backend() == "tpu" else V5E_PEAK_F32
+    )
     mfu = f"  mfu={flops / dt / peak * 100:5.1f}%" if flops else ""
     tfs = f"  {flops / dt / 1e12:6.2f} TF/s" if flops else ""
     print(f"{label:<28} {dt * 1e3:8.1f} ms{tfs}{mfu}", flush=True)
@@ -104,6 +109,9 @@ def main():
     from adascale.training.train_step import TrainState, _two_task_loss
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    global _PEAK
+    if jax.default_backend() == "tpu":
+        _PEAK = V5E_PEAK_BF16 if args.dtype == "bf16" else V5E_PEAK_F32
     model = AdaptiveScaling(
         config=AdaptiveScalingConfig(
             size=AdaptiveScalingSize.TINY,

@@ -2,17 +2,29 @@
     python launch.py [--num-epochs N] [--restore run/state_K]
 
 By default this is a SUPERVISOR: it runs the actual training in a child
-process and, if the child dies (the experimental TPU tunnel client leaks
-every host->device staging buffer, so multi-hour runs are eventually
-OOM-killed), restarts it from the newest checkpoint — the training
-driver's restore path resumes at the following epoch with optimizer/
-schedule state intact. rc=0 from the child ends the loop.
+process and restarts it from the newest checkpoint whenever the child
+stops making progress — the training driver's restore path resumes at the
+following epoch with optimizer/schedule state intact. rc=0 from the child
+ends the loop. Three failure modes are covered (all observed in anger on
+this sandbox):
+
+  1. Child death (the experimental TPU tunnel client leaks every
+     host->device staging buffer, so multi-hour runs are eventually
+     OOM-killed) -> restart from latest checkpoint.
+  2. Child HANG (a tunnel RPC that never returns leaves the process
+     sleeping forever; cost 1h40m of silent wall-clock once) -> the
+     supervisor watches run/log.txt's mtime and kills a child that has
+     written nothing for --stall-timeout seconds.
+  3. Leak-driven memory pressure (host RSS creeping toward the 125 GB
+     physical limit starves the datagen workers before the OOM killer
+     fires) -> kill preemptively at --rss-limit-gb and restart clean.
 """
 import argparse
 import os
 import re
 import subprocess
 import sys
+import time
 
 sys.path.insert(
     0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
@@ -23,6 +35,17 @@ parser.add_argument("--num-epochs", type=int, default=None)
 parser.add_argument("--restore", default=None)
 parser.add_argument("--child", action="store_true", help="internal: run training directly")
 parser.add_argument("--max-restarts", type=int, default=20)
+parser.add_argument(
+    "--stall-timeout", type=float, default=900.0,
+    help="kill the child if run/log.txt is untouched this long (steady "
+    "epochs log every few seconds; even a dev eval + checkpoint save "
+    "finishes well inside 15 min)",
+)
+parser.add_argument(
+    "--rss-limit-gb", type=float, default=96.0,
+    help="kill the child preemptively when its RSS passes this (tunnel "
+    "staging-buffer leak; restart is cheaper than swap death / OOM)",
+)
 args = parser.parse_args()
 
 if args.num_epochs is not None:
@@ -44,6 +67,44 @@ def latest_checkpoint():
     return best[1]
 
 
+def child_rss_gb(pid):
+    try:
+        with open(f"/proc/{pid}/status") as fin:
+            for line in fin:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
+def supervise_one(cmd):
+    """Run one child to completion; returns (rc, reason)."""
+    started = time.time()
+    proc = subprocess.Popen(cmd)
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            return rc, f"exited rc={rc}"
+        now = time.time()
+        try:
+            log_age = now - os.path.getmtime(os.path.join("run", "log.txt"))
+        except OSError:
+            log_age = 0.0
+        # Grace for startup (restore + cached compiles + datagen warmup):
+        # only count staleness after the child has had a full timeout.
+        if log_age > args.stall_timeout and now - started > args.stall_timeout:
+            proc.kill()
+            proc.wait()
+            return -1, f"STALLED (log untouched {log_age:.0f}s) -> killed"
+        rss = child_rss_gb(proc.pid)
+        if rss > args.rss_limit_gb:
+            proc.kill()
+            proc.wait()
+            return -1, f"RSS {rss:.1f} GB > {args.rss_limit_gb} GB -> killed"
+        time.sleep(20)
+
+
 if not args.child:
     restore = args.restore
     for attempt in range(args.max_restarts + 1):
@@ -52,12 +113,12 @@ if not args.child:
             cmd += ["--restore", restore]
         print(f"supervisor: starting child (attempt {attempt}, restore={restore})",
               flush=True)
-        rc = subprocess.call(cmd)
+        rc, reason = supervise_one(cmd)
         if rc == 0:
             print("supervisor: training finished", flush=True)
             sys.exit(0)
         restore = latest_checkpoint()
-        print(f"supervisor: child died rc={rc}; latest checkpoint {restore}",
+        print(f"supervisor: child {reason}; latest checkpoint {restore}",
               flush=True)
         if restore is None:
             sys.exit(rc)
