@@ -290,9 +290,7 @@ class BatchedAdaptiveScalingInference:
                 precise_np_char_corner_distance=distances[i],
             )
             regions = regions_per_page[i]
-            grouped = engine.precise_build_grouped_polygons(precise, regions, boxes)
-            remapped = engine.precise_build_remapped_polygons(regions, boxes, grouped)
-            remapped = engine.dedup_char_polygons(remapped)
+            grouped, remapped = engine.build_char_polygons(precise, regions, boxes)
             results.append(
                 {
                     "rough": roughs[i],

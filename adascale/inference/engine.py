@@ -63,7 +63,13 @@ class AdaptiveScalingInferenceConfig:
     precise_flattened_text_region_resized_ratio_min: float = 0.25
     precise_stack_flattened_text_regions_page_pad: int = 10
     precise_stack_flattened_text_regions_pad: int = 2
-    precise_build_polygons_positive_char_prob_thr: float = 0.7
+    # Reference ships 0.7 (inferencing/adaptive_scaling.py:55). Measured on
+    # the overfit fixture (4 pages, core gating on): 0.7 -> P .810 R .737;
+    # 0.6 -> P .810 R .821 (F1 .772 -> .815) — the flattened/rescaled
+    # rendering depresses peak confidence relative to raw pages, so the
+    # reference threshold costs recall for zero precision. 0.5/0.55 start
+    # trading precision. Our default is 0.6; set 0.7 for reference-exact.
+    precise_build_polygons_positive_char_prob_thr: float = 0.6
     precise_build_polygons_maximum_filter_size: int = 5
     # Cross-region NMS on the remapped char polygons. Text regions are
     # dilated before flattening (dilate_ratio 0.8 above), so a char near a
@@ -86,6 +92,31 @@ class AdaptiveScalingInferenceConfig:
     # fixture (4 pages): chain F1 0.553 -> 0.757, precision 0.45 -> 0.80,
     # recall 0.73 -> 0.72 (sweep 0.1/0.2/0.4: 0.743/0.754/0.757).
     precise_peak_gate_core_dilate_ratio: Optional[float] = 0.4
+    # Boundary-band recall recovery (pairs with core gating above): peaks
+    # inside a region's full dilated crop mask but outside EVERY core gate
+    # are chars cut by / straddling a crop boundary — round 3 dropped them
+    # entirely (the residual chain-vs-direct recall gap). They are rebuilt
+    # as candidate polygons and added after NMS unless their center lies
+    # within this ratio x char-size of an already-kept detection:
+    # imperfectly-remapped copies of the SAME char from different crops
+    # land close in page coords even when their quad IoU is below the NMS
+    # threshold, so center distance (scaled by the smaller quad's size) is
+    # the right duplicate test here. None disables the recovery pass.
+    #
+    # Measured on the overfit fixture (round 4): the band is ~90% POISON —
+    # confident (score 0.7-0.97) hallucinated peaks hugging the stacked-
+    # region boundaries with near-zero GT overlap, not missed chars (fixture
+    # page [42,0]: +38 candidates, 2 real; precision 0.85 -> 0.50). The
+    # actual chain-vs-direct recall gap traces to OVERLAPPING TEXT LINES
+    # (7px apart) merging in the rough mask, which no peak-ownership rule
+    # recovers. Default None (off); the knob stays for diagnosis.
+    precise_band_recall_center_dist_ratio: Optional[float] = None
+    # Band candidates are ranked by "ownership depth" — distance from the
+    # peak to its own region's core mask — and dropped beyond this ratio of
+    # the canonical resized char height: a peak deep inside the band is a
+    # NEIGHBOUR's char cut by this crop's boundary (a fragment with shifted
+    # geometry), and its true owner claims it from its own crop.
+    precise_band_recall_max_core_dist_ratio: float = 0.75
     # TPU-native knobs.
     shape_bucket: int = 64
     matmul_precision: str = "highest"  # 'highest' = fp32 parity; 'default' = fast bf16
@@ -499,9 +530,17 @@ class AdaptiveScalingInference:
         precise: PreciseInferResult,
         flattened_text_regions: Sequence[FlattenedTextRegion],
         boxes: Sequence[Box],
-    ) -> List[List[Polygon]]:
+        collect_band: bool = False,
+    ) -> Any:
         """Reference :467-524: gate peaks to each region's box and flattened
-        mask, then build one polygon per peak."""
+        mask, then build one polygon per peak.
+
+        With ``collect_band=True`` (and core gating active) returns
+        ``(grouped, band_grouped)`` where ``band_grouped`` holds polygons for
+        peaks inside the region's FULL dilated crop mask but outside its core
+        gate — chars straddling/cut by the crop boundary that no region's
+        core claims. They feed merge_band_polygons for a single-claim recall
+        recovery pass."""
         import cv2
 
         assert len(flattened_text_regions) == len(boxes)
@@ -509,6 +548,8 @@ class AdaptiveScalingInference:
         fh, fw = peak_mask.shape
 
         grouped: List[List[Polygon]] = []
+        band_grouped: List[List[Polygon]] = []
+        band_dist_grouped: List[List[float]] = []
         for region, box in zip(flattened_text_regions, boxes):
             dbox = box.to_resized_box(precise.padded_image_shape, (fh, fw))
             dbox = dbox.clamp_to((fh, fw))
@@ -525,6 +566,40 @@ class AdaptiveScalingInference:
                 interpolation=cv2.INTER_NEAREST,
             )
             boxed = dbox.extract(peak_mask).copy()
+            band_polygons: List[Polygon] = []
+            band_dists: List[float] = []
+            if collect_band and region.flattened_core_mask is not None:
+                full_mask = cv2.resize(
+                    region.flattened_mask,
+                    (dbox.width, dbox.height),
+                    interpolation=cv2.INTER_NEAREST,
+                )
+                band = boxed.copy()
+                band[(full_mask == 0) | (region_mask != 0)] = 0
+                # Ownership depth: distance (feature px) from the peak to
+                # this region's own core. Small = a whole char of THIS
+                # region that the coarse core polygon narrowly missed;
+                # large = a neighbour's char cut by this crop's boundary
+                # (its owner claims it better elsewhere) — capped below.
+                fdf = 4 // self.config.precise_head_upsampling_factor
+                cap = (
+                    self.config.precise_band_recall_max_core_dist_ratio
+                    * self.config.precise_flattened_text_region_resized_char_height_median
+                    / fdf
+                )
+                inv_core_dist = cv2.distanceTransform(
+                    (region_mask == 0).astype(np.uint8), cv2.DIST_L2, 3
+                )
+                for y, x in zip(*np.nonzero(band)):
+                    d = float(inv_core_dist[y, x])
+                    if d > cap:
+                        continue
+                    band_polygons.append(
+                        self.precise_build_polygon(
+                            precise, int(y) + dbox.up, int(x) + dbox.left
+                        )
+                    )
+                    band_dists.append(d)
             boxed[region_mask == 0] = 0
             ys, xs = np.nonzero(boxed)
             polygons = [
@@ -532,6 +607,10 @@ class AdaptiveScalingInference:
                 for y, x in zip(ys, xs)
             ]
             grouped.append(polygons)
+            band_grouped.append(band_polygons)
+            band_dist_grouped.append(band_dists)
+        if collect_band:
+            return grouped, band_grouped, band_dist_grouped
         return grouped
 
     def precise_build_remapped_polygons(
@@ -596,6 +675,94 @@ class AdaptiveScalingInference:
                 kept.append(p)
         return kept
 
+    @staticmethod
+    def _polygon_center_size(p: Polygon) -> Tuple[np.ndarray, float]:
+        pts = np.asarray(p.points, dtype=np.float64)
+        center = pts.mean(axis=0)
+        x, y = pts[:, 0], pts[:, 1]
+        area = 0.5 * abs(np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1)))
+        return center, math.sqrt(max(area, 1.0))
+
+    def merge_band_polygons(
+        self, kept: Sequence[Polygon], band: Sequence[Polygon]
+    ) -> List[Polygon]:
+        """Add boundary-band detections not already covered by a kept one
+        (see config.precise_band_recall_center_dist_ratio). ``band`` must
+        already be ordered best-owner-first (build_char_polygons sorts by
+        core distance, then score); each accepted candidate also suppresses
+        later candidates (the same cut char surfaces in 2+ crops)."""
+        ratio = self.config.precise_band_recall_center_dist_ratio
+        if ratio is None or not band:
+            return list(kept)
+        out = list(kept)
+        infos = [self._polygon_center_size(k) for k in out]
+        centers = (
+            np.stack([c for c, _ in infos])
+            if infos
+            else np.zeros((0, 2), dtype=np.float64)
+        )
+        sizes = np.asarray([s for _, s in infos], dtype=np.float64)
+        for p in band:
+            c, s = self._polygon_center_size(p)
+            if centers.shape[0]:
+                dist = np.linalg.norm(centers - c[None, :], axis=1)
+                if bool(np.any(dist < ratio * np.minimum(sizes, s))):
+                    continue
+            out.append(p)
+            centers = np.concatenate([centers, c[None, :]], axis=0)
+            sizes = np.concatenate([sizes, [s]])
+        return out
+
+    def build_char_polygons(
+        self,
+        precise: PreciseInferResult,
+        flattened_text_regions: Sequence[FlattenedTextRegion],
+        boxes: Sequence[Box],
+    ) -> Tuple[List[List[Polygon]], List[Polygon]]:
+        """Shared tail of the chain: grouped peak->polygon build (core +
+        boundary band), inverse remap, NMS, band recall recovery. Returns
+        (grouped core polygons, final page-coordinate char polygons)."""
+        collect = self.config.precise_band_recall_center_dist_ratio is not None
+        if collect:
+            grouped, band_grouped, band_dist_grouped = (
+                self.precise_build_grouped_polygons(
+                    precise, flattened_text_regions, boxes, collect_band=True
+                )
+            )
+        else:
+            grouped = self.precise_build_grouped_polygons(
+                precise, flattened_text_regions, boxes
+            )
+            band_grouped = band_dist_grouped = []
+        remapped = self.precise_build_remapped_polygons(
+            flattened_text_regions, boxes, grouped
+        )
+        remapped = self.dedup_char_polygons(remapped)
+        if any(band_grouped):
+            # Remap region-by-region so each candidate keeps its ownership
+            # depth, then order best-owner-first: smallest core distance,
+            # score breaking ties. A whole char narrowly outside its own
+            # region's coarse core polygon beats a neighbouring crop's cut
+            # fragment of the same char.
+            candidates: List[Tuple[float, float, Polygon]] = []
+            for region, box, polys, dists in zip(
+                flattened_text_regions, boxes, band_grouped, band_dist_grouped
+            ):
+                if not polys:
+                    continue
+                region_remapped = self.precise_build_remapped_polygons(
+                    [region], [box], [polys]
+                )
+                for p, d in zip(region_remapped, dists):
+                    candidates.append(
+                        (d, -(p.score if p.score is not None else 0.0), p)
+                    )
+            candidates.sort(key=lambda t: (t[0], t[1]))
+            remapped = self.merge_band_polygons(
+                remapped, [p for _, _, p in candidates]
+            )
+        return grouped, remapped
+
     # -------------------------------------------------------------- end-to-end
 
     def detect(self, image: np.ndarray, tiled: Optional[bool] = None) -> Dict[str, Any]:
@@ -613,9 +780,7 @@ class AdaptiveScalingInference:
         regions = self.build_flattened_text_regions(image, rough)
         stacked, boxes = self.stack_flattened_text_regions(regions)
         precise = self.precise_infer(stacked)
-        grouped = self.precise_build_grouped_polygons(precise, regions, boxes)
-        remapped = self.precise_build_remapped_polygons(regions, boxes, grouped)
-        remapped = self.dedup_char_polygons(remapped)
+        grouped, remapped = self.build_char_polygons(precise, regions, boxes)
         return {
             "rough": rough,
             "regions": regions,

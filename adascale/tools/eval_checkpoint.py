@@ -39,6 +39,33 @@ def find_latest_checkpoint(run_dir: str) -> str:
     return best[2]
 
 
+def shift_page_config(base):
+    """Generator knobs pushed OUTSIDE the training ranges (distribution-
+    shift robustness probe, trained ranges in the flagship steps.json):
+    char heights 8-110 vs trained 14-64, rotation to 40 deg vs 25,
+    perspective 2.5x stronger and more frequent, double the noise, denser
+    lines and tables, lower ink contrast."""
+    import dataclasses
+
+    return dataclasses.replace(
+        base,
+        char_height_min=8,
+        char_height_max=110,
+        num_lines_min=14,
+        num_lines_max=30,
+        line_rotate_prob=0.6,
+        line_rotate_max_deg=40.0,
+        perspective_prob=0.7,
+        perspective_max_ratio=0.05,
+        noise_sigma=16.0,
+        ink_gray_max=130,
+        background_gray_min=160,
+        ruled_line_prob=0.5,
+        table_prob=0.4,
+        vignette_prob=0.7,
+    )
+
+
 def evaluate(
     checkpoint_path: str,
     model_config_json: str,
@@ -48,6 +75,8 @@ def evaluate(
     compute_dtype: str = "float32",
     page_size: int = 768,
     direct: bool = True,
+    shift: bool = False,
+    fixtures_dir: Optional[str] = None,
 ) -> dict:
     import numpy as np
 
@@ -66,6 +95,9 @@ def evaluate(
         page_config = load_config(steps_json, SynthPipelineConfig).page
     else:
         page_config = SynthPageConfig(page_height=page_size, page_width=page_size)
+    if shift:
+        page_config = shift_page_config(page_config)
+        heldout_seed = heldout_seed + 777000  # disjoint from the in-dist stream
 
     artifact = export_inference_artifact(
         checkpoint_path, tempfile.mkdtemp(prefix="adascale_eval_"), model_config_json
@@ -136,6 +168,52 @@ def evaluate(
         r = tp_ / max(tp_ + fn_, 1)
         return p, r, 2 * p * r / max(p + r, 1e-9)
 
+    fix_metrics = None
+    if fixtures_dir and os.path.isdir(fixtures_dir):
+        # Real-FONT fixture pages (tools/shift_fixtures.py): DejaVu glyphs,
+        # scan skew, JPEG artifacts — a glyph distribution training never
+        # produced.
+        from ..data.synth import CharInstance
+
+        ftp = ffp = ffn = 0
+        fmious = []
+        files = sorted(
+            f for f in os.listdir(fixtures_dir) if f.endswith(".npz")
+        )
+        for name in files:
+            data = np.load(os.path.join(fixtures_dir, name))
+            image = data["image"]
+            quads = data["corners"]
+            result = engine.detect(image)
+            m = evaluate_char_detection(
+                result["char_polygons"], list(quads), iou_thr=0.5
+            )
+            ftp += m.num_matched
+            ffp += m.num_pred - m.num_matched
+            ffn += m.num_gt - m.num_matched
+            chars = [
+                CharInstance(corners=q, height=float(h))
+                for q, h in zip(quads, data["heights"])
+            ]
+            rough = result["rough"]
+            fmious.append(
+                evaluate_rough_mask(
+                    rough.rough_char_mask,
+                    chars,
+                    image.shape[:2],
+                    valid_shape=rough.resized_shape,
+                )
+            )
+        if files:
+            fp_, fr_, ff1_ = _prf(ftp, ffp, ffn)
+            fix_metrics = {
+                "font_fixture_pages": len(files),
+                "font_fixture_precision": round(fp_, 4),
+                "font_fixture_recall": round(fr_, 4),
+                "font_fixture_f1": round(ff1_, 4),
+                "font_fixture_rough_miou": round(float(np.mean(fmious)), 4),
+            }
+
     precision, recall, f1 = _prf(tp, fp, fn)
     out = {
         "checkpoint": checkpoint_path,
@@ -146,11 +224,15 @@ def evaluate(
         "rough_mask_miou": round(float(np.mean(mious)), 4) if mious else None,
         "height_median_rel_err": round(float(np.mean(herrs)), 4) if herrs else None,
     }
+    if shift:
+        out["shift"] = True
     if direct:
         dp, dr, df1 = _prf(dtp, dfp, dfn)
         out["direct_char_precision"] = round(dp, 4)
         out["direct_char_recall"] = round(dr, 4)
         out["direct_char_f1"] = round(df1, 4)
+    if fix_metrics:
+        out.update(fix_metrics)
     return out
 
 
@@ -168,6 +250,18 @@ def main() -> None:
         action="store_true",
         help="skip the direct precise-pass comparison (chain metrics only)",
     )
+    parser.add_argument(
+        "--shift",
+        action="store_true",
+        help="distribution-shift mode: generator knobs pushed outside the "
+        "training ranges, plus real-font fixture pages if present",
+    )
+    parser.add_argument(
+        "--fixtures",
+        default=None,
+        help="directory of .npz fixture pages (default under --shift: "
+        "tests/fixtures/shift_pages at the repo root)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -176,6 +270,14 @@ def main() -> None:
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    fixtures = args.fixtures
+    if fixtures is None and args.shift:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        cand = os.path.join(repo_root, "tests", "fixtures", "shift_pages")
+        fixtures = cand if os.path.isdir(cand) else None
 
     ckpt = args.checkpoint or find_latest_checkpoint(args.run)
     result = evaluate(
@@ -186,6 +288,8 @@ def main() -> None:
         heldout_seed=args.seed,
         compute_dtype=args.compute_dtype,
         direct=not args.no_direct,
+        shift=args.shift,
+        fixtures_dir=fixtures,
     )
     print(json.dumps(result))
 

@@ -21,6 +21,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU plugin (registered from sitecustomize at interpreter start)
+# force-selects itself with jax.config.update("jax_platforms", "axon,cpu"),
+# which overrides the JAX_PLATFORMS env var — and its backend INIT dials
+# the TPU tunnel, so with the tunnel down every test hangs at first device
+# use. The suite is CPU-only by design: re-pin the config AFTER the plugin
+# had its say so the axon backend stays registered-but-unselected and is
+# never initialized. ADASCALE_TESTS_ALLOW_TPU=1 opts out (tpu-marked tests
+# against real hardware).
+if not os.environ.get("ADASCALE_TESTS_ALLOW_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent executable cache: the suite's wall-clock is dominated by
 # ~10 CPU-mesh train-step compiles (60-80s each); caching them on disk
 # makes every run after the first take seconds instead (VERDICT r1 #10).

@@ -94,11 +94,18 @@ def test_trained_model_detects_characters(engine):
     m = evaluate_char_detection(
         result["char_polygons"], [c.corners for c in page.chars], iou_thr=0.5
     )
-    assert m.f1 >= 0.7, m.as_dict()
-    assert m.precision >= 0.7, m.as_dict()
-    assert m.recall >= 0.6, m.as_dict()
+    # Round-4 bar: peak threshold 0.6 (vs the reference's 0.7) lifts the
+    # 4-page chain to P .810 R .821 F1 .815; this page runs a bit above
+    # the mean. Margin left for platform numerics drift.
+    assert m.f1 >= 0.75, m.as_dict()
+    assert m.precision >= 0.72, m.as_dict()
+    assert m.recall >= 0.72, m.as_dict()
     # Scores carried through the remap chain for NMS.
-    assert all(p.score is not None and p.score >= 0.7 for p in result["char_polygons"])
+    assert all(
+        p.score is not None
+        and p.score >= engine.config.precise_build_polygons_positive_char_prob_thr
+        for p in result["char_polygons"]
+    )
 
 
 def test_direct_precise_pass_quality(engine):
