@@ -1,0 +1,259 @@
+"""Serving-forward ceiling analysis: per-component time + roofline bounds.
+
+Answers VERDICT r3 weak#5 quantitatively: is the headline 19.3% MFU of the
+rough serving forward near the hardware ceiling, or is there headroom? For
+each component (full forward, backbone, neck, heads, and the per-stage
+dw-conv vs MLP split of the ConvNeXt backbone) this times a scan-chained
+compiled program on the real device and compares against the v5e roofline
+
+    t_bound = max(flops / PEAK_FLOPS, bytes / HBM_BW)
+
+The depthwise 7x7 convs have arithmetic intensity ~49 flops/byte-pair and
+the stage-0/1 MLPs ~0.8*C flops/byte — both below the v5e bf16 ridge point
+(~240 flops/byte) — so the early high-resolution stages are expected to be
+HBM-BANDWIDTH bound, which caps whole-model MFU far below 100% no matter
+how the matmuls are scheduled. This tool turns that expectation into
+measured numbers (BASELINE.md cites the output).
+
+Usage (TPU):
+  python -m adascale.tools.serve_profile [--batch 16] [--hw 1280]
+      [--dtype bf16] [--iters 8] [--pallas]
+
+Reference for the hot loop being analyzed:
+/root/reference/vkit_open_model/model/convnext.py:29-59 (block),
+inferencing/adaptive_scaling.py:92-188 (serving rough pass).
+"""
+from __future__ import annotations
+
+import argparse
+
+from . import train_profile as tp
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--hw", type=int, default=1280)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--pallas", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from adascale.models import (
+        AdaptiveScaling,
+        AdaptiveScalingConfig,
+        AdaptiveScalingNeckHeadType,
+        AdaptiveScalingSize,
+    )
+    from adascale.models.convnext import CONVNEXT_PRESETS
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if jax.default_backend() == "tpu":
+        tp._PEAK = tp.V5E_PEAK_BF16 if args.dtype == "bf16" else tp.V5E_PEAK_F32
+    peak = tp._PEAK or tp.V5E_PEAK_F32
+    HBM_BW = 819e9  # v5e HBM bandwidth, bytes/s
+    ridge = peak / HBM_BW
+
+    b, hw = args.batch, args.hw
+    model = AdaptiveScaling(
+        config=AdaptiveScalingConfig(
+            size=AdaptiveScalingSize.TINY,
+            neck_head_type=AdaptiveScalingNeckHeadType.FPN,
+        ),
+        dtype=dtype,
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    image = jax.random.uniform(key, (b, hw, hw, 3), jnp.float32, 0, 255)
+    jax.block_until_ready(image)
+    print(
+        f"tiny/FPN rough forward, B{b}@{hw}, {args.dtype}, "
+        f"pallas={args.pallas}, backend={jax.default_backend()}; "
+        f"v5e ridge point {ridge:.0f} flops/byte",
+        flush=True,
+    )
+
+    rows = []
+
+    def bound_ms(flops, bytes_):
+        if not flops:
+            return None
+        return max(flops / peak, (bytes_ or 0) / HBM_BW) * 1e3
+
+    def report(label, dt, flops, bytes_):
+        bnd = bound_ms(flops, bytes_) if bytes_ else None
+        if bnd:
+            ai = flops / max(bytes_, 1)
+            kind = "BW" if ai < ridge else "MXU"
+            print(
+                f"    roofline: AI={ai:6.1f} fl/B ({kind}-bound) "
+                f"bound={bnd:7.2f} ms  achieved/bound={bnd / (dt * 1e3) * 100:5.1f}%",
+                flush=True,
+            )
+        rows.append((label, dt, flops, bytes_))
+
+    def chain(body):
+        # _time_scan expects a (carry, out) pair and keeps only outs[-1] —
+        # the out must depend on the carry or XLA dead-code-eliminates the
+        # whole chain (observed: "full forward" in 0.1 ms).
+        def wrapped(c):
+            c2 = body(c)
+            return c2, c2.astype(jnp.float32).mean()
+
+        return wrapped
+
+    def time_program(label, body, carry, analytic_bytes=None):
+        dt, flops = tp._time_scan(
+            chain(body), carry, args.iters, label, want_flops=True
+        )
+        # cost_analysis bytes are unreliable on some backends; prefer the
+        # analytic estimate (activation traffic at the program's dtype).
+        report(label, dt, flops, analytic_bytes)
+        return dt
+
+    bpe = 2 if args.dtype == "bf16" else 4
+
+    stage_specs = list(CONVNEXT_PRESETS[AdaptiveScalingSize.TINY.value])
+
+    # ---- full rough forward (preprocessed input -> mask+height) ----
+    if args.pallas:
+        from adascale.ops.pallas import convnext_forward_pallas
+
+        def full_body(img):
+            feats = convnext_forward_pallas(
+                params["backbone"], img.astype(dtype), stage_specs
+            )
+            mask_logits, height = model.apply(
+                {"params": params},
+                tuple(feats),
+                method=model.forward_rough_from_features,
+            )
+            return img + 1e-6 * jnp.tanh(
+                mask_logits.astype(jnp.float32).mean()
+                + height.astype(jnp.float32).mean()
+            )
+
+        def backbone_body(img):
+            feats = convnext_forward_pallas(
+                params["backbone"], img.astype(dtype), stage_specs
+            )
+            bump = sum(f.astype(jnp.float32).mean() for f in feats)
+            return img + 1e-6 * jnp.tanh(bump)
+
+    else:
+
+        def full_body(img):
+            mask_logits, height = model.apply(
+                {"params": params}, img, method=model.forward_rough
+            )
+            return img + 1e-6 * jnp.tanh(
+                mask_logits.astype(jnp.float32).mean()
+                + height.astype(jnp.float32).mean()
+            )
+
+        def backbone_body(img):
+            feats = model.apply(
+                {"params": params},
+                img,
+                method=lambda mdl, t: mdl.backbone(t, True),
+            )
+            bump = sum(f.astype(jnp.float32).mean() for f in feats)
+            return img + 1e-6 * jnp.tanh(bump)
+
+    t_full = time_program("full_rough_forward", full_body, image)
+    t_backbone = time_program("backbone_only", backbone_body, image)
+
+    # ---- per-stage dwconv / MLP split ----
+    # tiny: (96,3)@/4, (192,3)@/8, (384,9)@/16, (768,3)@/32 of the stem /4.
+    import flax.linen as nn
+
+    res = hw // 4
+    for si, (c, n) in enumerate(stage_specs):
+        r = res // (2**si)
+        x = jax.random.normal(key, (b, r, r, c), dtype)
+        npx = b * r * r
+
+        # dw-conv 7x7 xN (the reference hot loop convnext.py:29-33)
+        dw = nn.Conv(
+            features=c, kernel_size=(7, 7), padding=3, feature_group_count=c,
+            dtype=dtype, name="dw",
+        )
+        dwp = dw.init(key, jnp.zeros((1, 16, 16, c), dtype))["params"]
+
+        def dw_body(t, _dw=dw, _p=dwp, _n=n):
+            for _ in range(_n):
+                t = _dw.apply({"params": _p}, t)
+            return t
+
+        dw_flops = npx * c * 49 * 2 * n
+        dw_bytes = npx * c * 2 * bpe * n  # read + write per layer
+        dt = tp._time_scan(
+            chain(dw_body), x, args.iters, f"stage{si} dwconv7x7 x{n}",
+            want_flops=False,
+        )[0]
+        report(f"stage{si} dwconv7x7 x{n}", dt, dw_flops, dw_bytes)
+
+        # LN + MLP(4x) + gelu xN (convnext.py:34-44)
+        ln = nn.LayerNorm(epsilon=1e-6, dtype=dtype, name="ln")
+        up = nn.Dense(4 * c, dtype=dtype, name="up")
+        down = nn.Dense(c, dtype=dtype, name="down")
+        lnp = ln.init(key, jnp.zeros((1, c), dtype))["params"]
+        upp = up.init(key, jnp.zeros((1, c), dtype))["params"]
+        downp = down.init(key, jnp.zeros((1, 4 * c), dtype))["params"]
+
+        def mlp_body(t, _n=n):
+            for _ in range(_n):
+                y = ln.apply({"params": lnp}, t)
+                y = up.apply({"params": upp}, y)
+                y = jax.nn.gelu(y)
+                y = down.apply({"params": downp}, y)
+                t = t + 1e-6 * y
+            return t
+
+        mlp_flops = npx * (c * 4 * c + 4 * c * c) * 2 * n
+        # in + mid(write+read) + out per layer, fused LN/gelu assumed free.
+        mlp_bytes = npx * (c + 4 * c + 4 * c + c) * bpe * n
+        dt = tp._time_scan(
+            chain(mlp_body), x, args.iters, f"stage{si} LN+MLP4x x{n}",
+            want_flops=False,
+        )[0]
+        report(f"stage{si} LN+MLP4x x{n}", dt, mlp_flops, mlp_bytes)
+
+    # ---- summary ----
+    print("\nsummary:", flush=True)
+    total_bound = 0.0
+    for label, dt, flops, bytes_ in rows:
+        if label == "full_rough_forward" or label == "backbone_only":
+            continue
+        bnd = bound_ms(flops, bytes_)
+        total_bound += bnd or 0.0
+    print(
+        f"  sum of per-stage roofline bounds (dw+mlp only): {total_bound:.2f} ms",
+        flush=True,
+    )
+    print(
+        f"  measured full forward: {t_full * 1e3:.2f} ms; "
+        f"backbone {t_backbone * 1e3:.2f} ms",
+        flush=True,
+    )
+    print(
+        "  interpretation: components below the ridge point are HBM-bound —"
+        " their bound is set by byte traffic, not flops; whole-model MFU is"
+        " capped at (flops_total/peak) / sum(bounds) regardless of schedule.",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    import os
+
+    import jax
+
+    cache = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    main()
