@@ -804,6 +804,21 @@ def load_params(checkpoint: str, model_config: AdaptiveScalingConfig) -> Any:
 
         restored = restore_pytree_numpy(path)
         return restored["params"] if "params" in restored else restored
+    if path.endswith(".npz"):
+        # Compact committed artifact (tools/export_params.py): flat
+        # "a/b/c" keys -> nested param dict; f16 leaves cast back to f32.
+        flat = np.load(path)
+        params: Dict[str, Any] = {}
+        for key in flat.files:
+            node = params
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            leaf = flat[key]
+            if leaf.dtype == np.float16:
+                leaf = leaf.astype(np.float32)
+            node[parts[-1]] = leaf
+        return params
     # Torch state dict (possibly wrapped in a RestoreState-like dict).
     import torch
 
