@@ -179,3 +179,45 @@ def test_rough_infer_zeroes_padding():
     assert mask[100:, :].sum() == 0
     assert mask[:, 115:].sum() == 0
     assert rough.rough_char_height_score_map[100:, :].sum() == 0
+
+
+def test_merge_band_polygons_single_claim():
+    """Band candidates are added once: near-duplicates of kept detections
+    (and of earlier-accepted band candidates) are suppressed by center
+    distance, distinct chars are kept."""
+    import dataclasses
+
+    import numpy as np
+
+    from adascale.data.geometry import Polygon
+    from adascale.inference.engine import (
+        AdaptiveScalingInference,
+        AdaptiveScalingInferenceConfig,
+    )
+
+    eng = AdaptiveScalingInference.__new__(AdaptiveScalingInference)
+    eng.config = dataclasses.replace(
+        AdaptiveScalingInferenceConfig(),
+        precise_band_recall_center_dist_ratio=0.7,
+    )
+
+    def quad(x0, y0, s=10.0, score=0.9):
+        return Polygon(
+            np.asarray(
+                [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]],
+                np.float32,
+            ),
+            score=score,
+        )
+
+    kept = [quad(0, 0)]
+    band = [
+        quad(2, 1, score=0.95),    # same char, slightly shifted -> suppressed
+        quad(40, 0, score=0.9),    # distinct char -> added
+        quad(41, 2, score=0.85),   # copy of the one just added -> suppressed
+        quad(0, 40, score=0.8),    # distinct char -> added
+    ]
+    out = eng.merge_band_polygons(kept, band)
+    assert len(out) == 3
+    centers = sorted(tuple(np.round(p.points.mean(axis=0))) for p in out)
+    assert centers == [(5.0, 5.0), (5.0, 45.0), (45.0, 5.0)]
