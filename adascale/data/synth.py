@@ -32,6 +32,17 @@ from typing import List, Optional, Sequence, Tuple
 import cv2
 import numpy as np
 
+# numpy madvise(MADV_HUGEPAGE)s every large allocation; on this 1-core
+# sandbox kernel each first-touch then zeroes a 2 MB folio in the page-fault
+# path (measured 2x allocation cost, and the generator allocates page-sized
+# arrays constantly). Plain 4 KB faults are strictly faster here.
+try:  # pragma: no cover - availability depends on numpy version
+    from numpy._core import multiarray as _ma  # type: ignore
+
+    _ma._set_madvise_hugepage(False)
+except Exception:
+    pass
+
 from .geometry import Box
 
 

@@ -478,6 +478,10 @@ def main() -> None:
     if cfg == "4b":
         bench_train_step(1, dtype=jnp.bfloat16)
         return
+    if cfg == "4b6":
+        # Flagship operating point: batch 6, bf16 (examples/flagship_training).
+        bench_train_step(1, per_device_batch=6, dtype=jnp.bfloat16)
+        return
     if cfg == "4b8":
         bench_train_step(1, per_device_batch=8, dtype=jnp.bfloat16)
         return
