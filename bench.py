@@ -68,12 +68,23 @@ def _flops_of(fn, *args):
         return None
 
 
-def _mfu_fields(flops, dt):
-    """tflops_per_sec + mfu fields for a step of `flops` taking `dt` sec."""
+def _mfu_fields(flops, dt, dtype=None):
+    """tflops_per_sec + mfu fields for a step of `flops` taking `dt` sec.
+
+    The peak is chosen by the benched compute dtype (f32 runs at half the
+    bf16 MXU rate on v5e), not just the backend — otherwise f32 configs
+    report MFU vs a peak they cannot reach (advisor r3 finding, same bug
+    as tools/train_profile.py had).
+    """
     if not flops or not dt:
         return {}
     achieved = flops / dt
-    peak = V5E_PEAK_BF16 if jax.default_backend() == "tpu" else V5E_PEAK_F32
+    if jax.default_backend() != "tpu":
+        peak = V5E_PEAK_F32
+    elif dtype is not None and jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+        peak = V5E_PEAK_F32
+    else:
+        peak = V5E_PEAK_BF16
     return {
         "tflops_per_sec": round(achieved / 1e12, 2),
         "mfu_vs_v5e_peak": round(achieved / peak, 4),
@@ -179,7 +190,7 @@ def bench_rough(res, batch, size="tiny", neck="fpn", baseline=None, tag=None):
         batch / dt,
         "pages/s",
         baseline,
-        extra=_mfu_fields(flops, dt),
+        extra=_mfu_fields(flops, dt, dtype),
     )
 
 
@@ -323,7 +334,8 @@ def bench_train_step(
     if dtype is not None and dtype != jnp.float32:
         tag += f"_{jnp.dtype(dtype).name}"
     flops = _flops_of(step, state, key, rough, precise)
-    _emit(tag, 1.0 / dt, "steps/s", extra=_mfu_fields(flops, dt))
+    _emit(tag, 1.0 / dt, "steps/s",
+          extra=_mfu_fields(flops, dt, dtype or jnp.float32))
 
 
 def bench_train_loop_e2e(num_batches=30, batch_size=4, num_processes=8):
