@@ -182,6 +182,11 @@ def main() -> None:
             dtype=dtype, name="dw",
         )
         dwp = dw.init(key, jnp.zeros((1, 16, 16, c), dtype))["params"]
+        # Chaining n*iters depthwise convs compounds per-channel variance
+        # (no cross-channel mixing), which overflows bf16 after ~50 layers
+        # (observed: -inf at stage2). Scale the kernel contractive so the
+        # chain decays toward zero instead — same op count, same timing.
+        dwp = jax.tree.map(lambda w: w * 0.5, dwp)
 
         def dw_body(t, _dw=dw, _p=dwp, _n=n):
             for _ in range(_n):
