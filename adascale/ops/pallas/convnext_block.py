@@ -81,6 +81,7 @@ def _kernel(
     out_ref,  # (1, TH, W, Cp)
     *,
     c_real: int,
+    dw_tap_major: bool,
 ):
     th, w, cp = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
     hi = pl.program_id(1)
@@ -92,15 +93,28 @@ def _kernel(
     bot = jnp.where(hi < nh - 1, xn[0, :HALO, :, :], 0.0)
     xv = jnp.concatenate([top, xc[0], bot], axis=0)  # (TH+6, W+6, Cp)
 
-    # Depthwise 7x7 (+ conv bias): 49 shifted FMAs, f32 accumulation.
-    # Channel-pad region stays exactly 0 (zero inputs x zero weights).
+    # Depthwise 7x7 (+ conv bias): 49 FMAs, f32 accumulation. Channel-pad
+    # region stays exactly 0 (zero inputs x zero weights).
     acc = jnp.zeros((th, w, cp), jnp.float32) + dwb[0][None, None, :]
-    for ky in range(7):
+    if dw_tap_major:
+        # Legacy tap-major order: every tap pays a W-shift (sublane
+        # rotate) AND an f32 convert — ~3 VPU passes per tap. Kept for
+        # A/B timing (tools/kernel_sweep.py).
+        for ky in range(7):
+            for kx in range(7):
+                acc = acc + (
+                    xv[ky : ky + th, kx : kx + w, :].astype(jnp.float32)
+                    * dwk[ky * 7 + kx][None, None, :]
+                )
+    else:
+        # kx-major order: 7 W-shifts + 7 f32 converts of the full halo
+        # band; the inner ky offsets slice only the row (second-minor)
+        # axis, which is pure addressing on TPU — so the steady-state
+        # cost is ~1 FMA per tap instead of shift+convert+FMA.
         for kx in range(7):
-            acc = acc + (
-                xv[ky : ky + th, kx : kx + w, :].astype(jnp.float32)
-                * dwk[ky * 7 + kx][None, None, :]
-            )
+            xs = xv[:, kx : kx + w, :].astype(jnp.float32)  # (TH+6, W, Cp)
+            for ky in range(7):
+                acc = acc + xs[ky : ky + th] * dwk[ky * 7 + kx][None, None, :]
 
     # LayerNorm over the REAL channels only (pad channels hold zeros), f32,
     # biased variance, eps 1e-6 — torch semantics.
@@ -153,10 +167,17 @@ _BAND_BUDGET = 8 * 326 * 128
 
 
 def _auto_tile_h(w: int, cpad: int, requested: int) -> int:
-    return max(4, min(requested, _BAND_BUDGET // max(1, w * cpad)))
+    # Requesting more than the default 8 scales the budget with it: the
+    # caller is explicitly asking for bigger tiles (kernel_sweep probes
+    # whether the later, narrower stages have VMEM headroom) and a
+    # too-big tile fails loudly at compile time rather than silently.
+    budget = _BAND_BUDGET * max(1, requested // 8)
+    return max(4, min(requested, budget // max(1, w * cpad)))
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "interpret", "dw_tap_major")
+)
 def fused_convnext_block(
     x: jax.Array,  # (B, H, W, C)
     dw_kernel: jax.Array,  # (7, 7, 1, C) — flax depthwise layout
@@ -171,6 +192,10 @@ def fused_convnext_block(
     *,
     tile_h: int = 8,
     interpret: bool = False,
+    # Default stays the hardware-proven tap-major loop until the kx-major
+    # variant is validated by tools/kernel_sweep.py on the real device
+    # (interpret-clean kernels can still fail Mosaic compile).
+    dw_tap_major: bool = True,
 ) -> jax.Array:
     """y = x + block_scale * mlp(ln(dwconv7x7(x))) — one fused kernel.
 
@@ -223,7 +248,7 @@ def fused_convnext_block(
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
     out = pl.pallas_call(
-        functools.partial(_kernel, c_real=c),
+        functools.partial(_kernel, c_real=c, dw_tap_major=dw_tap_major),
         grid=(b, nh),
         in_specs=[
             band(lambda bi, hi: (bi, jnp.maximum(hi - 1, 0), 0, 0)),

@@ -43,6 +43,8 @@ run_step tiled_recall python -m adascale.tools.tiled_recall \
   --checkpoint "$CKPT_DIR" --model-config model.json
 run_step export_params python -m adascale.tools.export_params \
   --checkpoint "$CKPT_DIR" --out flagship_fpn_params.f16.npz
+run_step kernel_sweep python -m adascale.tools.kernel_sweep \
+  --batch 16 --hw 1280 --dtype bf16
 
 echo "[watch] battery done; launching UPerNeXt flagship run"
 cd ../flagship_upernext

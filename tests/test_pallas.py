@@ -50,6 +50,32 @@ def test_fused_block_matches_flax(c, hw):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_fused_block_kx_major_matches_flax():
+    """The kx-major dwconv loop order (7 shifts + 7 casts instead of 49,
+    kernel_sweep's fast candidate) must be numerically identical to the
+    tap-major default — both are f32 accumulation over the same taps."""
+    key = jax.random.PRNGKey(0)
+    layer, params = _block_params(key, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 13, 19, 8), jnp.float32)
+    want = layer.apply({"params": params}, x, True)
+    got = fused_convnext_block(
+        x,
+        params["dwconv"]["kernel"],
+        params["dwconv"]["bias"],
+        params["ln"]["scale"],
+        params["ln"]["bias"],
+        params["mlp_up"]["kernel"],
+        params["mlp_up"]["bias"],
+        params["mlp_down"]["kernel"],
+        params["mlp_down"]["bias"],
+        params["block_scale"],
+        tile_h=8,
+        interpret=True,
+        dw_tap_major=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
 def test_block_xla_matches_flax():
     """The recompute target of the trainable block's backward must be
     numerically identical to the Flax layer."""
