@@ -96,10 +96,12 @@ def test_trained_model_detects_characters(engine):
     )
     # Round-4 bar: peak threshold 0.6 (vs the reference's 0.7) lifts the
     # 4-page chain to P .810 R .821 F1 .815; this page runs a bit above
-    # the mean. Margin left for platform numerics drift.
-    assert m.f1 >= 0.75, m.as_dict()
-    assert m.precision >= 0.72, m.as_dict()
-    assert m.recall >= 0.72, m.as_dict()
+    # the mean. The pipeline is fully deterministic from the committed
+    # fixture checkpoint + seeds, so the thresholds pin the achieved
+    # level (VERDICT r3 task 4: >= 0.80) minus a small numerics margin.
+    assert m.f1 >= 0.80, m.as_dict()
+    assert m.precision >= 0.78, m.as_dict()
+    assert m.recall >= 0.78, m.as_dict()
     # Scores carried through the remap chain for NMS.
     assert all(
         p.score is not None
