@@ -27,8 +27,9 @@ mkdir -p run/eval_r4
 
 run_step () {
   local name="$1"; shift
+  local tmo="${STEP_TIMEOUT:-3000}"
   echo "[watch] === $name start $(date '+%H:%M:%S') ==="
-  timeout 3000 "$@" > "run/eval_r4/${name}.log" 2>&1
+  timeout "$tmo" "$@" > "run/eval_r4/${name}.log" 2>&1
   echo "[watch] === $name rc=$? end $(date '+%H:%M:%S') ==="
 }
 
@@ -43,8 +44,11 @@ run_step tiled_recall python -m adascale.tools.tiled_recall \
   --checkpoint "$CKPT_DIR" --model-config model.json
 run_step export_params python -m adascale.tools.export_params \
   --checkpoint "$CKPT_DIR" --out flagship_fpn_params.f16.npz
-run_step kernel_sweep python -m adascale.tools.kernel_sweep \
-  --batch 16 --hw 1280 --dtype bf16
+# tile-hs 8 only: each sweep config is a fresh tunnel compile (100-700 s),
+# so the matrix is trimmed to the default tile — 10 programs total — and
+# the step gets a wider 90-min budget than the eval steps.
+STEP_TIMEOUT=5400 run_step kernel_sweep python -m adascale.tools.kernel_sweep \
+  --batch 16 --hw 1280 --dtype bf16 --tile-hs 8
 
 echo "[watch] battery done; launching UPerNeXt flagship run"
 cd ../flagship_upernext
