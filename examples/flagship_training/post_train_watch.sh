@@ -11,6 +11,9 @@
 # Usage: nohup bash post_train_watch.sh <supervisor_pid> > watch.log 2>&1 &
 set -u
 cd "$(dirname "$0")"
+# adascale is not pip-installed; every tool invocation needs the repo root
+# on PYTHONPATH (launch.py does its own sys.path.insert, the -m calls don't).
+export PYTHONPATH="$(cd ../.. && pwd)${PYTHONPATH:+:$PYTHONPATH}"
 SUP_PID="${1:?usage: post_train_watch.sh <supervisor_pid>}"
 
 echo "[watch] waiting for supervisor pid=$SUP_PID ..."
