@@ -99,12 +99,18 @@ def evaluate(
         page_config = shift_page_config(page_config)
         heldout_seed = heldout_seed + 777000  # disjoint from the in-dist stream
 
-    artifact = export_inference_artifact(
-        checkpoint_path, tempfile.mkdtemp(prefix="adascale_eval_"), model_config_json
-    )
+    if checkpoint_path.endswith(".npz"):
+        # Compact committed weights (tools/export_params.py) load straight
+        # into the engine — the fresh-clone path: no orbax dir required.
+        params_path = checkpoint_path
+    else:
+        artifact = export_inference_artifact(
+            checkpoint_path, tempfile.mkdtemp(prefix="adascale_eval_"), model_config_json
+        )
+        params_path = os.path.join(artifact, "params")
     engine = AdaptiveScalingInference(
         AdaptiveScalingInferenceConfig(
-            checkpoint=os.path.join(artifact, "params"),
+            checkpoint=params_path,
             model=load_config(model_config_json, AdaptiveScalingConfig),
             compute_dtype=compute_dtype,
             matmul_precision="highest" if compute_dtype == "float32" else "default",

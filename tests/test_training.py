@@ -164,6 +164,31 @@ def test_train_step_remat_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_train_step_upernext():
+    """The UPerNeXt product config must train end-to-end exactly like FPN
+    (the flagship_upernext recipe runs it unattended for hours — this
+    pins the grad path at micro scale, bf16 like the recipe)."""
+    config = AdaptiveScalingConfig(
+        size=AdaptiveScalingSize.TINY,
+        neck_head_type=AdaptiveScalingNeckHeadType.UPERNEXT,
+        custom_block_channels_and_num_layers=((8, 1), (16, 1), (32, 1), (64, 1)),
+    )
+    model = AdaptiveScaling(config=config, dtype=jnp.bfloat16)
+    rough, precise = _micro_batches(np.random.default_rng(4), b=2)
+    key = jax.random.PRNGKey(5)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+    state = TrainState(params=params, opt_state=tx.init(params))
+    step = make_train_step(model, tx, _step_config(), donate=False)
+    state2, metrics = step(state, key, rough, precise)
+    assert np.isfinite(float(metrics["rough_loss"]))
+    assert np.isfinite(float(metrics["precise_loss"]))
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+
+
 def test_train_step_single_device():
     model = _micro_model()
     rng_np = np.random.default_rng(0)
