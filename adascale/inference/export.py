@@ -45,12 +45,12 @@ def export_stablehlo(
 
         * ``b,h,w``: any batch; H/W any multiple of 64 (backbone /32 stride
           x reference bucket granularity) — the full ONNX dynamic-axes
-          analogue (demo.py:233-242). Works for FPN.
-        * ``b``: dynamic batch, static H/W — UPerNeXt's PPM lowers
-          adaptive-avg-pool to matmuls whose weights are *computed from* the
-          concrete H/W (adascale/ops/resize.py:100-122), so its spatial
-          dims are structurally static; dynamic batch is what serving
-          actually rebatches on.
+          analogue (demo.py:233-242). Works for both necks: FPN's ladder is
+          integer-factor nearest, and UPerNeXt's PPM/bilinear weights switch
+          to on-device symbolic-dim-safe builders
+          (adascale/ops/resize.py::_linear_weights_dynamic /
+          _adaptive_pool_weights_dynamic) when dims are non-concrete.
+        * ``b``: dynamic batch, static H/W — retained as a fallback tier.
         * static fallback.
         """
         specs = []

@@ -6,6 +6,7 @@ from .checkpoint import (  # noqa: F401
     TrainState,
     save_checkpoint,
     restore_checkpoint,
+    restore_with_new_optimizer,
     latest_checkpoint_path,
 )
 from .opt import setup_seeds, calculate_iterable_dataset_num_samples  # noqa: F401

@@ -92,6 +92,43 @@ def restore_checkpoint(
     return {"epoch_idx": int(restored["epoch_idx"]), "state": state}
 
 
+def restore_with_new_optimizer(
+    path: str,
+    params_template: Any,
+    new_tx: Any,
+    reset_step: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Restore a checkpoint into a *differently configured* optimizer.
+
+    The explicit recipe for the reference's restore-time schedule surgery
+    (train.py:316-335: patch ``initial_lr`` / ``base_lrs`` / ``eta_min`` /
+    ``last_epoch`` on the live scheduler): in optax the schedule is a pure
+    function baked into the transformation, not part of the state, so
+    changing lr / eta_min / t0 / t_mult means rebuilding ``tx`` from a new
+    ``OptimizerConfig`` and restoring the saved moments + step count into
+    it. That works whenever the new chain has the same *structure* (same
+    transforms, new hyperparameters); AdamW moments and the step count
+    carry over, and ``reset_step`` optionally overrides the count (the
+    ``last_epoch`` analogue).
+
+    Raises ValueError when the saved opt-state cannot fit the new chain
+    (e.g. grad-clip added/removed — that changes the chain structure; start
+    from a fresh opt state in that case).
+    """
+    template_state = TrainState(
+        params=params_template, opt_state=new_tx.init(params_template)
+    )
+    try:
+        return restore_checkpoint(path, template_state, reset_step=reset_step)
+    except Exception as exc:
+        raise ValueError(
+            "saved opt_state does not match the new optimizer's structure; "
+            "lr/schedule hyperparameter changes are fine, but adding or "
+            "removing transforms (e.g. clip_grad_norm) changes the chain — "
+            "restore params only and init a fresh opt state instead"
+        ) from exc
+
+
 def restore_pytree_numpy(path: str) -> Any:
     """Restore an orbax pytree checkpoint as host numpy arrays, regardless of
     the topology it was written from (used for artifact export / inference

@@ -51,10 +51,12 @@ def test_export_and_roundtrip(tmp_path):
     assert m2.shape == (2, 64, 32, 1)
 
 
-def test_export_upernext_dynamic_batch(tmp_path):
-    """UPerNeXt's PPM lowers adaptive-avg-pool to matmuls whose weights are
-    computed from the concrete spatial size (ops/resize.py), so H/W are
-    structurally static — but batch must still export symbolic."""
+def test_export_upernext_fully_polymorphic(tmp_path):
+    """UPerNeXt must export with symbolic batch AND H/W: the PPM's
+    adaptive-avg-pool / bilinear weights switch to symbolic-dim-safe
+    on-device builders (ops/resize.py::_*_dynamic) under polymorphic
+    tracing. Roundtrip output must match the eager model and accept a
+    different batch + H/W through the same artifact."""
     cfg = AdaptiveScalingConfig(
         size=AdaptiveScalingSize.TINY,
         neck_head_type=AdaptiveScalingNeckHeadType.UPERNEXT,
@@ -64,9 +66,21 @@ def test_export_upernext_dynamic_batch(tmp_path):
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
 
     manifest = export_stablehlo(params, cfg, str(tmp_path), example_hw=(64, 64))
-    assert manifest["forward_rough"]["symbolic_axes"] == "b"
-    assert "polymorphic_fallback_reason" in manifest["forward_rough"]
+    assert manifest["forward_rough"]["symbolic_axes"] == "b,h,w"
+    assert manifest["forward_precise"]["symbolic_axes"] == "b,h,w"
 
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 255, (1, 64, 64, 3)).astype(np.float32)
+    )
+    want_mask, want_height = model.apply(
+        {"params": params}, x, method=model.forward_rough
+    )
     loaded = load_stablehlo(str(tmp_path / "forward_rough.stablehlo"))
-    m2, _ = loaded.call(params, jnp.zeros((3, 64, 64, 3), jnp.float32))
-    assert m2.shape == (3, 32, 32, 1)
+    got_mask, got_height = loaded.call(params, x)
+    np.testing.assert_allclose(np.asarray(got_mask), np.asarray(want_mask), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_height), np.asarray(want_height), atol=1e-4
+    )
+
+    m2, _ = loaded.call(params, jnp.zeros((3, 128, 64, 3), jnp.float32))
+    assert m2.shape == (3, 64, 32, 1)

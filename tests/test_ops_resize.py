@@ -132,3 +132,29 @@ def test_compute_rough_shapes_edges():
     (rh, rw), (ph, pw) = compute_rough_shapes(1440, 2880)
     assert rh == 720 and rw == 1440
     assert ph >= rh and pw >= rw and ph % 32 == 0 and pw % 32 == 0
+
+
+def test_dynamic_weight_builders_match_static():
+    """The symbolic-dim-safe weight builders (used only under polymorphic
+    export tracing) must produce the exact static matrices for every size
+    pair the PPM/ladder uses — plus awkward non-divisible pairs."""
+    from adascale.ops.resize import (
+        _adaptive_pool_weights,
+        _adaptive_pool_weights_dynamic,
+        _linear_weights,
+        _linear_weights_dynamic,
+    )
+
+    for ins, outs in [(1, 7), (7, 1), (2, 6), (6, 2), (20, 40), (40, 20),
+                      (13, 29), (64, 6), (6, 64), (1, 1), (5, 5)]:
+        np.testing.assert_allclose(
+            _linear_weights(ins, outs),
+            np.asarray(_linear_weights_dynamic(ins, outs)),
+            atol=1e-6, err_msg=f"linear {ins}->{outs}",
+        )
+    for ins, outs in [(2, 6), (3, 6), (40, 6), (13, 3), (7, 1), (6, 6), (100, 2)]:
+        np.testing.assert_allclose(
+            _adaptive_pool_weights(ins, outs),
+            np.asarray(_adaptive_pool_weights_dynamic(ins, outs)),
+            atol=1e-6, err_msg=f"pool {ins}->{outs}",
+        )

@@ -360,3 +360,61 @@ def test_checkpoint_roundtrip(tmp_path):
         if any(getattr(k, "name", None) == "count" for k in path_)
     ]
     assert counts and all(int(c) == 70 for c in counts)
+
+
+def test_restore_with_new_optimizer(tmp_path):
+    """Reference restore-time schedule surgery (train.py:316-335): restore
+    saved moments + count into a tx rebuilt with new lr/eta_min."""
+    import pytest
+
+    from adascale.training import save_checkpoint
+    from adascale.training.checkpoint import restore_with_new_optimizer
+
+    model = _micro_model()
+    key = jax.random.PRNGKey(5)
+    params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    tx1, _ = build_optimizer(OptimizerConfig(), steps_per_epoch=10)
+    state = TrainState(params=params, opt_state=tx1.init(params))
+    rough, precise = _micro_batches(np.random.default_rng(6), b=2)
+    step = make_train_step(model, tx1, _step_config(), donate=False)
+    state, _ = step(state, key, rough, precise)
+    save_checkpoint(str(tmp_path), state, epoch_idx=2)
+    path = f"{tmp_path}/state_2"
+
+    # Same chain structure, new schedule hyperparameters: moments and the
+    # step count must carry over.
+    tx2, _ = build_optimizer(
+        OptimizerConfig(
+            adamw_lr=1e-4, cosine_annealing_warm_restarts_eta_min=1e-6
+        ),
+        steps_per_epoch=10,
+    )
+    restored = restore_with_new_optimizer(path, params, tx2)
+    assert restored["epoch_idx"] == 2
+    old_leaves = jax.tree.leaves(state.opt_state)
+    new_leaves = jax.tree.leaves(restored["state"].opt_state)
+    for x, y in zip(old_leaves, new_leaves):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # The restored state must actually train under the new tx.
+    step2 = make_train_step(model, tx2, _step_config(), donate=False)
+    state2, metrics = step2(restored["state"], key, rough, precise)
+    assert np.isfinite(float(metrics["rough_loss"]))
+
+    # reset_step rides through (the last_epoch analogue).
+    restored3 = restore_with_new_optimizer(path, params, tx2, reset_step=30)
+    counts = [
+        x
+        for p, x in jax.tree_util.tree_flatten_with_path(
+            restored3["state"].opt_state
+        )[0]
+        if any(getattr(k, "name", None) == "count" for k in p)
+    ]
+    assert counts and all(int(c) == 30 for c in counts)
+
+    # Structural change (clip removed) cannot host the saved state.
+    tx3, _ = build_optimizer(
+        OptimizerConfig(clip_grad_norm_max_norm=None), steps_per_epoch=10
+    )
+    with pytest.raises(ValueError, match="structure"):
+        restore_with_new_optimizer(path, params, tx3)
