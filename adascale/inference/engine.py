@@ -117,6 +117,15 @@ class AdaptiveScalingInferenceConfig:
     # NEIGHBOUR's char cut by this crop's boundary (a fragment with shifted
     # geometry), and its true owner claims it from its own crop.
     precise_band_recall_max_core_dist_ratio: float = 0.75
+    # Bound on the stacked precise input's pixel area. Text-dense pages
+    # (especially tiled full-res mode) can flatten enough regions that one
+    # shelf-packed stack exceeds device memory at compile time (measured:
+    # a 2048px tiled page OOMed HBM at 33.5G on v5e). Regions are packed
+    # into as many capped stacks as needed, each run through precise_infer
+    # separately, and the polygon sets merged + re-deduped. None = always a
+    # single stack (reference-exact; inferencing/adaptive_scaling.py has no
+    # bound either).
+    precise_stacked_image_max_area: Optional[int] = 2048 * 2048
     # TPU-native knobs.
     shape_bucket: int = 64
     matmul_precision: str = "highest"  # 'highest' = fp32 parity; 'default' = fast bf16
@@ -778,18 +787,61 @@ class AdaptiveScalingInference:
             )
         rough = self.rough_infer_tiled(image) if tiled else self.rough_infer(image)
         regions = self.build_flattened_text_regions(image, rough)
-        stacked, boxes = self.stack_flattened_text_regions(regions)
-        precise = self.precise_infer(stacked)
-        grouped, remapped = self.build_char_polygons(precise, regions, boxes)
+
+        grouped: List[List[Polygon]] = []
+        remapped: List[Polygon] = []
+        first_chunk: Optional[Tuple[np.ndarray, List[Box], PreciseInferResult]] = None
+        chunks = self._chunk_regions_by_area(regions)
+        for chunk in chunks:
+            stacked, boxes = self.stack_flattened_text_regions(chunk)
+            precise = self.precise_infer(stacked)
+            g, r = self.build_char_polygons(precise, chunk, boxes)
+            grouped.extend(g)
+            remapped.extend(r)
+            if first_chunk is None:
+                first_chunk = (stacked, boxes, precise)
+        if len(chunks) > 1:
+            # Duplicate chars from overlapping crops can land in different
+            # chunks; the within-chunk NMS cannot see those — repeat it on
+            # the merged set.
+            remapped = self.dedup_char_polygons(remapped)
+        assert first_chunk is not None  # stacker handles empty region lists
+        stacked, boxes, precise = first_chunk
         return {
             "rough": rough,
             "regions": regions,
+            # For multi-chunk runs these expose the FIRST stack (primarily
+            # a visualization/debug surface); num_precise_chunks says so.
             "stacked_image": stacked,
             "boxes": boxes,
             "precise": precise,
+            "num_precise_chunks": len(chunks),
             "grouped_polygons": grouped,
             "char_polygons": remapped,
         }
+
+    def _chunk_regions_by_area(
+        self, regions: Sequence[FlattenedTextRegion]
+    ) -> List[List[FlattenedTextRegion]]:
+        """Split regions into consecutive groups whose estimated shelf-packed
+        area stays under precise_stacked_image_max_area (None/small inputs:
+        one group). Estimate = 1.5x the summed region areas — the shelf
+        packer's observed overhead is ~1.2-1.4x."""
+        cap = self.config.precise_stacked_image_max_area
+        if cap is None or not regions:
+            return [list(regions)]
+        chunks: List[List[FlattenedTextRegion]] = []
+        cur: List[FlattenedTextRegion] = []
+        area = 0.0
+        for region in regions:
+            a = 1.5 * float(region.height) * float(region.width)
+            if cur and area + a > cap:
+                chunks.append(cur)
+                cur, area = [], 0.0
+            cur.append(region)
+            area += a
+        chunks.append(cur)
+        return chunks
 
 
 def load_params(checkpoint: str, model_config: AdaptiveScalingConfig) -> Any:

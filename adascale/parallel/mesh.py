@@ -59,9 +59,46 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def local_batch_size(global_batch_size: int) -> int:
+    """Per-process share of a global batch (multi-host data loading: each
+    host's generator pool produces only its own rows)."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(
+            f"global batch size {global_batch_size} not divisible by "
+            f"process count {n}"
+        )
+    return global_batch_size // n
+
+
+def per_process_seed(seed: int) -> int:
+    """Decorrelate per-host generator streams: each process offsets its rng
+    seed so the global batch is drawn from process_count independent
+    streams instead of process_count copies of one stream."""
+    return seed + 7919 * jax.process_index()
+
+
+def assemble_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Build global sharded arrays from THIS process's local batch rows
+    (``jax.make_array_from_process_local_data``): the multi-host input path
+    where no host ever materializes the full global batch. Single-process
+    it is equivalent to ``shard_batch``."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_batch,
+    )
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Place every leaf of a batch pytree with its leading axis sharded over
-    the mesh. Batch size must divide the mesh size."""
+    """Place a batch pytree with its leading axis sharded over the mesh.
+
+    Single-process: ``batch`` is the full global batch (device_put with a
+    sharding). Multi-host: ``batch`` is this process's LOCAL shard
+    (``local_batch_size`` rows) and the global array is assembled from the
+    per-process pieces without gathering them anywhere."""
+    if jax.process_count() > 1:
+        return assemble_batch(batch, mesh, axis_name)
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 

@@ -69,6 +69,10 @@ class EpochConfig:
     avg_num_batches: int = 50
     enable_overfit_testing: bool = False
     enable_multitask_gradiant_inspection: bool = False
+    # With inspection on, also log each shared (backbone) parameter's
+    # per-task gradient abs-mean — the reference's named-intersection
+    # granularity (adaptive_scaling.py:189-212).
+    multitask_gradiant_inspection_per_parameter: bool = False
     # Tracing/profiling (SURVEY.md §5: the reference only has manual
     # torch.autograd profiling in tests; here the main path is hookable):
     # >0 traces that many leading batches of epoch 0 into
@@ -188,11 +192,29 @@ def train(
     # initializes the JAX backend and its threads; the dataset pools must
     # FORK BEFORE that happens (os.fork of a multithreaded process risks
     # deadlock in the children), so datasets are constructed first.
+    #
+    # Multi-host (use_mesh + >1 process): each host generates only its own
+    # local_batch_size rows from a per-process-decorrelated stream, and
+    # shard_batch assembles the global arrays without any host gathering
+    # the full batch. Consulting jax here initializes the backend before
+    # the pools fork — on multi-host jax.distributed.initialize() must run
+    # first anyway, so that ordering already holds by construction.
+    if use_mesh:
+        from ..parallel import local_batch_size, per_process_seed
+
+        local_train_bs = local_batch_size(epoch_config.train_batch_size)
+        local_dev_bs = local_batch_size(epoch_config.dev_batch_size)
+        seed_of = per_process_seed
+    else:
+        local_train_bs = epoch_config.train_batch_size
+        local_dev_bs = epoch_config.dev_batch_size
+        seed_of = lambda s: s  # noqa: E731
+
     train_num_samples = calculate_iterable_dataset_num_samples(
-        epoch_config.train_batch_size, epoch_config.train_num_batches
+        local_train_bs, epoch_config.train_num_batches
     )
     dev_num_samples = calculate_iterable_dataset_num_samples(
-        epoch_config.dev_batch_size, epoch_config.dev_num_batches
+        local_dev_bs, epoch_config.dev_num_batches
     )
 
     # Dev dataset (pre-generated + cached, train.py:221-233).
@@ -207,7 +229,7 @@ def train(
                     epoch_config.num_page_char_regression_labels
                 ),
                 num_samples=dev_num_samples,
-                rng_seed=epoch_config.dev_rng_seed,
+                rng_seed=seed_of(epoch_config.dev_rng_seed),
                 num_processes=epoch_config.dev_num_processes,
                 is_dev=True,
             )
@@ -242,7 +264,7 @@ def train(
                     ),
                     num_samples=train_num_samples,
                     num_samples_reset_rng=dev_num_samples,
-                    rng_seed=epoch_config.dev_rng_seed,
+                    rng_seed=seed_of(epoch_config.dev_rng_seed),
                     num_processes=epoch_config.train_num_processes,
                     num_cached_runs=max(1, epoch_config.train_num_processes) * 3,
                 )
@@ -254,7 +276,7 @@ def train(
                     epoch_config.num_page_char_regression_labels
                 ),
                 num_samples=train_num_samples,
-                rng_seed=rng_seed,
+                rng_seed=seed_of(rng_seed),
                 num_processes=epoch_config.train_num_processes,
                 num_cached_runs=max(1, epoch_config.train_num_processes) * 3,
                 sample_reuse=epoch_config.train_sample_reuse,
@@ -295,7 +317,11 @@ def train(
     if epoch_config.enable_multitask_gradiant_inspection:
         from .train_step import make_grad_inspection_fn
 
-        grad_inspect = make_grad_inspection_fn(model, step_config)
+        grad_inspect = make_grad_inspection_fn(
+            model,
+            step_config,
+            per_parameter=epoch_config.multitask_gradiant_inspection_per_parameter,
+        )
     if mesh is not None:
         state = replicate(state, mesh)
 
@@ -338,7 +364,7 @@ def train(
             nonlocal batch_iter
             t0 = time.perf_counter()
             pairs = []
-            for _ in range(epoch_config.train_batch_size):
+            for _ in range(local_train_bs):
                 try:
                     pairs.append(next(batch_iter))
                 except StopIteration:
@@ -402,7 +428,7 @@ def train(
                 rough_b, precise_b = prefetcher.get()
             else:
                 pairs = []
-                for _ in range(epoch_config.train_batch_size):
+                for _ in range(local_train_bs):
                     try:
                         pairs.append(next(batch_iter))
                     except StopIteration:
@@ -450,6 +476,15 @@ def train(
                     float(gi["precise_abs_grads_mean"]),
                     float(gi["precise_abs_grads_std"]),
                 )
+                for k in sorted(gi):
+                    if k.endswith(":rough_abs_mean"):
+                        name = k[: -len(":rough_abs_mean")]
+                        logger.info(
+                            "grad inspection %s: rough=%.3e precise=%.3e",
+                            name,
+                            float(gi[k]),
+                            float(gi[f"{name}:precise_abs_mean"]),
+                        )
             # Defer the device->host metric fetch to the logging cadence:
             # float() blocks on step completion, and paying that sync every
             # step serializes the pipeline (the scalars themselves cost
@@ -499,7 +534,7 @@ def train(
             dev_iter = iter(dev_dataset)
             for _ in range(epoch_config.dev_num_batches):
                 pairs = []
-                for _ in range(epoch_config.dev_batch_size):
+                for _ in range(local_dev_bs):
                     try:
                         pairs.append(next(dev_iter))
                     except StopIteration:

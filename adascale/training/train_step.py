@@ -265,10 +265,17 @@ def make_eval_step(
     return jax.jit(step, in_shardings=(repl, data, data), out_shardings=repl)
 
 
-def make_grad_inspection_fn(model, config: TrainStepConfig) -> Callable:
+def make_grad_inspection_fn(
+    model, config: TrainStepConfig, per_parameter: bool = False
+) -> Callable:
     """Multitask gradient inspection (reference model debug classmethods,
     adaptive_scaling.py:179-237 + train.py:420-466): per-task gradient
-    abs-mean/std over the *shared* parameters, computed functionally."""
+    abs-mean/std over the *shared* parameters, computed functionally.
+
+    ``per_parameter=True`` additionally reports each shared parameter's
+    per-task abs-mean keyed by its tree path — the exact granularity of the
+    reference's named-intersection inspection (it iterates the shared
+    name set parameter by parameter, adaptive_scaling.py:189-212)."""
 
     def inspect(params, rng, rough_batch, precise_batch):
         rough_batch = _upcast_batch(rough_batch)
@@ -316,11 +323,21 @@ def make_grad_inspection_fn(model, config: TrainStepConfig) -> Callable:
         # comparison this knob exists for.
         rough_abs = flat_abs(rough_grads["backbone"])
         precise_abs = flat_abs(precise_grads["backbone"])
-        return {
+        out = {
             "rough_abs_grads_mean": jnp.mean(rough_abs),
             "rough_abs_grads_std": jnp.std(rough_abs),
             "precise_abs_grads_mean": jnp.mean(precise_abs),
             "precise_abs_grads_std": jnp.std(precise_abs),
         }
+        if per_parameter:
+            flat_r = jax.tree_util.tree_flatten_with_path(rough_grads["backbone"])[0]
+            flat_p = jax.tree_util.tree_flatten_with_path(precise_grads["backbone"])[0]
+            for (path, gr), (_, gp) in zip(flat_r, flat_p):
+                name = "backbone/" + "/".join(
+                    str(getattr(k, "key", getattr(k, "name", k))) for k in path
+                )
+                out[f"{name}:rough_abs_mean"] = jnp.mean(jnp.abs(gr))
+                out[f"{name}:precise_abs_mean"] = jnp.mean(jnp.abs(gp))
+        return out
 
     return jax.jit(inspect)

@@ -221,3 +221,53 @@ def test_merge_band_polygons_single_claim():
     assert len(out) == 3
     centers = sorted(tuple(np.round(p.points.mean(axis=0))) for p in out)
     assert centers == [(5.0, 5.0), (5.0, 45.0), (45.0, 5.0)]
+
+
+def test_chunk_regions_by_area():
+    """Stacked-area bound (engine._chunk_regions_by_area): consecutive
+    grouping under the cap, oversize singletons allowed, None = one group."""
+    import dataclasses as dc
+
+    class FakeRegion:
+        def __init__(self, h, w):
+            self.height, self.width = h, w
+
+    engine = _micro_engine()
+    regions = [FakeRegion(100, 100)] * 10  # 1.5*10k = 15k est each
+
+    eng_cap = dc.replace(engine.config, precise_stacked_image_max_area=40_000)
+    engine.config = eng_cap
+    chunks = engine._chunk_regions_by_area(regions)
+    assert sum(len(c) for c in chunks) == 10
+    assert all(len(c) <= 2 for c in chunks)  # 2*15k <= 40k < 3*15k
+
+    # A single region above the cap still forms its own chunk.
+    big = [FakeRegion(1000, 1000)]
+    assert [len(c) for c in engine._chunk_regions_by_area(big)] == [1]
+
+    engine.config = dc.replace(engine.config, precise_stacked_image_max_area=None)
+    assert [len(c) for c in engine._chunk_regions_by_area(regions)] == [10]
+
+
+def test_detect_multi_chunk_matches_single_stack():
+    """Forcing a tiny stack cap must yield the same char polygons as the
+    unbounded single-stack path (up to NMS order ties)."""
+    import dataclasses as dc
+
+    engine = _micro_engine()
+    from adascale.data.synth import SynthPageConfig, generate_page
+
+    page = generate_page(
+        SynthPageConfig(page_height=256, page_width=256, num_lines_min=3, num_lines_max=5),
+        np.random.default_rng(3),
+    )
+    engine.config = dc.replace(engine.config, precise_stacked_image_max_area=None)
+    single = engine.detect(page.image)
+    assert single["num_precise_chunks"] == 1
+
+    # Cap small enough to force >1 chunk whenever >=2 regions were found.
+    engine.config = dc.replace(engine.config, precise_stacked_image_max_area=20_000)
+    multi = engine.detect(page.image)
+    if len(multi["regions"]) >= 2:
+        assert multi["num_precise_chunks"] >= 2
+    assert len(multi["char_polygons"]) == len(single["char_polygons"])

@@ -327,6 +327,18 @@ def test_grad_inspection():
     for v in stats.values():
         assert np.isfinite(float(v))
 
+    # Per-parameter mode: one rough + one precise abs-mean per shared
+    # (backbone) leaf, finite, and consistent with the aggregate keys.
+    inspect_pp = make_grad_inspection_fn(model, _step_config(), per_parameter=True)
+    stats_pp = inspect_pp(params, key, rough, precise)
+    pp_rough = [k for k in stats_pp if k.endswith(":rough_abs_mean")]
+    pp_precise = [k for k in stats_pp if k.endswith(":precise_abs_mean")]
+    n_backbone_leaves = len(jax.tree.leaves(params["backbone"]))
+    assert len(pp_rough) == len(pp_precise) == n_backbone_leaves
+    assert all(k.startswith("backbone/") for k in pp_rough)
+    for k in pp_rough + pp_precise:
+        assert np.isfinite(float(stats_pp[k])), k
+
 
 def test_checkpoint_roundtrip(tmp_path):
     from adascale.training import restore_checkpoint, save_checkpoint, latest_checkpoint_path
@@ -418,3 +430,40 @@ def test_restore_with_new_optimizer(tmp_path):
     )
     with pytest.raises(ValueError, match="structure"):
         restore_with_new_optimizer(path, params, tx3)
+
+
+def test_assemble_batch_matches_shard_batch():
+    """Multi-host input path: assemble_batch
+    (jax.make_array_from_process_local_data) must produce arrays identical
+    to shard_batch single-process, with the same shardings."""
+    from adascale.parallel import assemble_batch, create_mesh, shard_batch
+
+    cpus = jax.devices("cpu")
+    mesh = create_mesh(cpus[:8])
+    batch = {
+        "image": np.random.default_rng(0).uniform(0, 255, (8, 16, 16, 3)).astype(np.float32),
+        "mask": (np.random.default_rng(1).uniform(size=(8, 8, 8)) > 0.5).astype(np.uint8),
+    }
+    a = shard_batch(batch, mesh)
+    b = assemble_batch(batch, mesh)
+    for k in batch:
+        assert a[k].sharding == b[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_local_batch_size_and_seed_helpers(monkeypatch):
+    from adascale.parallel import local_batch_size, per_process_seed
+    from adascale.parallel import mesh as mesh_mod
+
+    # Single-process: identity / base seed.
+    assert local_batch_size(6) == 6
+    assert per_process_seed(13371) == 13371
+
+    # Simulated 4-host topology: even split, divisibility enforced, and
+    # distinct per-process generator seeds.
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 4)
+    assert local_batch_size(8) == 2
+    with pytest.raises(ValueError, match="not divisible"):
+        local_batch_size(6)
+    monkeypatch.setattr(mesh_mod.jax, "process_index", lambda: 3)
+    assert per_process_seed(13371) == 13371 + 3 * 7919
