@@ -54,6 +54,7 @@ def convnext_forward_pallas(
     tile_h: int = 8,
     interpret: bool = False,
     dw_tap_major: bool = True,
+    halo_thin: bool = False,
 ) -> List[jax.Array]:
     """(B, H, W, 3) -> 4 pyramid features; twin of ConvNeXt.__call__
     (adascale/models/convnext.py:168-202) with Pallas-fused blocks."""
@@ -81,6 +82,7 @@ def convnext_forward_pallas(
                 tile_h=tile_h,
                 interpret=interpret,
                 dw_tap_major=dw_tap_major,
+                halo_thin=halo_thin,
             )
         x = _layer_norm(x, stage["ln"])
         features.append(x)

@@ -66,9 +66,9 @@ def _gelu_exact(x: jax.Array) -> jax.Array:
 
 
 def _kernel(
-    xp,  # (1, TH, W + 2*HALO, Cp) previous row band (clamped at top)
+    xp,  # (1, TH or HALO, W + 2*HALO, Cp) row band above (clamped at top)
     xc,  # (1, TH, W + 2*HALO, Cp) current row band
-    xn,  # (1, TH, W + 2*HALO, Cp) next row band (clamped at bottom)
+    xn,  # (1, TH or HALO, W + 2*HALO, Cp) row band below (clamped at bottom)
     dwk,  # (49, Cp) f32
     dwb,  # (1, Cp) f32
     ln_g,  # (1, Cp) f32
@@ -88,8 +88,10 @@ def _kernel(
     nh = pl.num_programs(1)
 
     # Assemble the vertically halo-extended band; zero halo at page borders
-    # (= the 7x7's zero padding semantics).
-    top = jnp.where(hi > 0, xp[0, th - HALO :, :, :], 0.0)
+    # (= the 7x7's zero padding semantics). The neighbor refs are either
+    # full tile_h bands (legacy 3-view scheme) or thin HALO-row blocks
+    # (halo_thin scheme) — both cases want their last/first HALO rows.
+    top = jnp.where(hi > 0, xp[0, xp.shape[1] - HALO :, :, :], 0.0)
     bot = jnp.where(hi < nh - 1, xn[0, :HALO, :, :], 0.0)
     xv = jnp.concatenate([top, xc[0], bot], axis=0)  # (TH+6, W+6, Cp)
 
@@ -166,17 +168,24 @@ def _round_up(x: int, m: int) -> int:
 _BAND_BUDGET = 8 * 326 * 128
 
 
-def _auto_tile_h(w: int, cpad: int, requested: int) -> int:
-    # Requesting more than the default 8 scales the budget with it: the
-    # caller is explicitly asking for bigger tiles (kernel_sweep probes
-    # whether the later, narrower stages have VMEM headroom) and a
-    # too-big tile fails loudly at compile time rather than silently.
+def _auto_tile_h(w: int, cpad: int, requested: int, halo_thin: bool = False) -> int:
+    # Requesting more than the default (8 band / 12 thin) scales the budget
+    # with it: the caller is explicitly asking for bigger tiles
+    # (kernel_sweep probes whether the later, narrower stages have VMEM
+    # headroom) and a too-big tile fails loudly at compile time rather than
+    # silently.
+    if halo_thin:
+        # Thin halos replace the two full neighbor bands, so the input
+        # VMEM cost per tile drops ~3x — allow correspondingly taller tiles.
+        budget = _BAND_BUDGET * 3 * max(1, requested // 12)
+        th = max(4, min(requested, budget // max(1, w * cpad)))
+        return max(2 * HALO, th // HALO * HALO)
     budget = _BAND_BUDGET * max(1, requested // 8)
     return max(4, min(requested, budget // max(1, w * cpad)))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_h", "interpret", "dw_tap_major")
+    jax.jit, static_argnames=("tile_h", "interpret", "dw_tap_major", "halo_thin")
 )
 def fused_convnext_block(
     x: jax.Array,  # (B, H, W, C)
@@ -196,12 +205,23 @@ def fused_convnext_block(
     # variant is validated by tools/kernel_sweep.py on the real device
     # (interpret-clean kernels can still fail Mosaic compile).
     dw_tap_major: bool = True,
+    # halo_thin=True fetches the vertical halo as two HALO-row blocks
+    # instead of two full tile_h neighbor bands, cutting input HBM reads
+    # from 3x to (tile_h + 2*HALO)/tile_h (requires tile_h % HALO == 0;
+    # the wrapper rounds). Default off until validated by kernel_sweep.
+    halo_thin: bool = False,
 ) -> jax.Array:
     """y = x + block_scale * mlp(ln(dwconv7x7(x))) — one fused kernel.
 
     Matches ConvNeXtBlockLayer (adascale/models/convnext.py:53-81) in
     deterministic mode. Works for any H (zero-padded up to a tile multiple)
     and any C (zero-padded to a lane multiple of 128 internally).
+
+    Contract on ``tile_h``: values > 8 scale the VMEM budget with the
+    request (``_auto_tile_h``), so an oversized tile fails loudly at
+    Mosaic compile time instead of being silently clamped — callers
+    probing large tiles (tools/kernel_sweep.py) must guard with
+    try/except; production paths should stay at the default 8.
 
     Note on H padding: rows H..Hp-1 are zeros, which would make the
     bottom tile's halo see zeros exactly like the true page border — the
@@ -210,7 +230,9 @@ def fused_convnext_block(
     """
     b, h, w, c = x.shape
     cpad = _round_up(c, LANE)
-    tile_h = _auto_tile_h(w, cpad, tile_h)
+    # In thin mode the result is a HALO multiple: halo blocks are HALO rows
+    # tall and addressed in HALO-row units, so hi*tile_h must be one too.
+    tile_h = _auto_tile_h(w, cpad, tile_h, halo_thin=halo_thin)
     hp = pl.cdiv(h, tile_h) * tile_h
     dc = cpad - c
     xpad = jnp.pad(x, ((0, 0), (0, hp - h), (HALO, HALO), (0, dc)))
@@ -247,13 +269,31 @@ def fused_convnext_block(
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
+    if halo_thin:
+        # Neighbor halos as HALO-row blocks (index units of HALO rows):
+        # top rows [hi*tile_h - HALO, hi*tile_h), bottom rows
+        # [(hi+1)*tile_h, (hi+1)*tile_h + HALO) — clamped at the page
+        # borders, where the kernel zeroes them anyway.
+        r = tile_h // HALO
+        nthin = hp // HALO
+        thin = lambda im: pl.BlockSpec(  # noqa: E731
+            (1, HALO, wp, cpad), im, memory_space=pltpu.VMEM
+        )
+        above = thin(lambda bi, hi: (bi, jnp.maximum(hi * r - 1, 0), 0, 0))
+        below = thin(
+            lambda bi, hi: (bi, jnp.minimum((hi + 1) * r, nthin - 1), 0, 0)
+        )
+    else:
+        above = band(lambda bi, hi: (bi, jnp.maximum(hi - 1, 0), 0, 0))
+        below = band(lambda bi, hi: (bi, jnp.minimum(hi + 1, nh - 1), 0, 0))
+
     out = pl.pallas_call(
         functools.partial(_kernel, c_real=c, dw_tap_major=dw_tap_major),
         grid=(b, nh),
         in_specs=[
-            band(lambda bi, hi: (bi, jnp.maximum(hi - 1, 0), 0, 0)),
+            above,
             band(lambda bi, hi: (bi, hi, 0, 0)),
-            band(lambda bi, hi: (bi, jnp.minimum(hi + 1, nh - 1), 0, 0)),
+            below,
             full(), full(), full(), full(), full(),
             full(), full(), full(), full(),
         ],

@@ -74,42 +74,51 @@ def main() -> None:
 
     results: dict[str, float] = {}
 
+    # (label, dw_tap_major, halo_thin, tile_h) — band variants from
+    # --tile-hs, thin-halo variants at their natural HALO-multiple tiles.
+    variants = [
+        (f"tap band th{th}", True, False, th) for th in tile_hs
+    ] + [
+        (f"kx  band th{th}", False, False, th) for th in tile_hs
+    ] + [
+        ("kx  thin th12", False, True, 12),
+        ("kx  thin th24", False, True, 24),
+        ("tap thin th12", True, True, 12),
+    ]
+
     # ---- per-stage fused block chains ----
     for si, (c, n) in enumerate(stage_specs):
         r = (hw // 4) // (2**si)
         layer = ConvNeXtBlockLayer(channels=c)
         params = layer.init(key, jnp.zeros((1, 8, 8, c)))["params"]
         x = jax.random.normal(key, (b, r, r, c), dtype)
-        for tap_major in (False, True):
-            for th in tile_hs:
-                label = (
-                    f"s{si} {r}x{r}x{c} x{n} "
-                    f"{'tap' if tap_major else 'kx '} th{th}"
-                )
+        for vlabel, tap_major, thin, th in variants:
+            label = f"s{si} {r}x{r}x{c} x{n} {vlabel}"
 
-                def body(t, _p=params, _n=n, _tap=tap_major, _th=th):
-                    for _ in range(_n):
-                        t = fused_convnext_block(
-                            t,
-                            _p["dwconv"]["kernel"],
-                            _p["dwconv"]["bias"],
-                            _p["ln"]["scale"],
-                            _p["ln"]["bias"],
-                            _p["mlp_up"]["kernel"],
-                            _p["mlp_up"]["bias"],
-                            _p["mlp_down"]["kernel"],
-                            _p["mlp_down"]["bias"],
-                            _p["block_scale"],
-                            tile_h=_th,
-                            dw_tap_major=_tap,
-                        )
-                    return t
+            def body(t, _p=params, _n=n, _tap=tap_major, _thin=thin, _th=th):
+                for _ in range(_n):
+                    t = fused_convnext_block(
+                        t,
+                        _p["dwconv"]["kernel"],
+                        _p["dwconv"]["bias"],
+                        _p["ln"]["scale"],
+                        _p["ln"]["bias"],
+                        _p["mlp_up"]["kernel"],
+                        _p["mlp_up"]["bias"],
+                        _p["mlp_down"]["kernel"],
+                        _p["mlp_down"]["bias"],
+                        _p["block_scale"],
+                        tile_h=_th,
+                        dw_tap_major=_tap,
+                        halo_thin=_thin,
+                    )
+                return t
 
-                try:
-                    dt, _ = tp._time_scan(chain(body), x, args.iters, label)
-                    results[label.strip()] = dt * 1e3
-                except Exception as exc:  # VMEM overflow etc — report, move on
-                    print(f"{label:<28} FAILED: {type(exc).__name__}", flush=True)
+            try:
+                dt, _ = tp._time_scan(chain(body), x, args.iters, label)
+                results[label.strip()] = dt * 1e3
+            except Exception as exc:  # VMEM overflow etc — report, move on
+                print(f"{label:<36} FAILED: {type(exc).__name__}", flush=True)
 
     # ---- end-to-end rough forward, Pallas backbone, both variants ----
     model = AdaptiveScaling(
@@ -122,12 +131,18 @@ def main() -> None:
     params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
     image = jax.random.uniform(key, (b, hw, hw, 3), jnp.float32, 0, 255)
 
-    for tap_major in (False, True):
+    full_variants = [
+        ("tap band th8", True, False, 8),
+        ("kx  band th8", False, False, 8),
+        ("kx  thin th12", False, True, 12),
+        ("kx  thin th24", False, True, 24),
+    ]
+    for vlabel, tap_major, thin, th in full_variants:
 
-        def full_body(img, _tap=tap_major):
+        def full_body(img, _tap=tap_major, _thin=thin, _th=th):
             feats = convnext_forward_pallas(
                 params["backbone"], img.astype(dtype), stage_specs,
-                dw_tap_major=_tap,
+                dw_tap_major=_tap, halo_thin=_thin, tile_h=_th,
             )
             mask_logits, height = model.apply(
                 {"params": params},
@@ -139,10 +154,15 @@ def main() -> None:
                 + height.astype(jnp.float32).mean()
             )
 
-        label = f"full rough fwd {'tap' if tap_major else 'kx '}"
-        dt, _ = tp._time_scan(chain(full_body), image, args.iters, label)
-        results[label.strip()] = dt * 1e3
-        print(f"    -> {b / dt:.1f} pages/s", flush=True)
+        label = f"full rough fwd {vlabel}"
+        # Same guard as the per-stage loop: an unproven variant failing
+        # Mosaic compile must not discard the results already collected.
+        try:
+            dt, _ = tp._time_scan(chain(full_body), image, args.iters, label)
+            results[label.strip()] = dt * 1e3
+            print(f"    -> {b / dt:.1f} pages/s", flush=True)
+        except Exception as exc:
+            print(f"{label:<28} FAILED: {type(exc).__name__}", flush=True)
 
     print(json.dumps({"kernel_sweep_ms": results}), flush=True)
 

@@ -79,17 +79,23 @@ def restore_checkpoint(
     )
     opt_state = restored["opt_state"]
     if reset_step is not None:
-        opt_state = jax.tree.map(
-            lambda t, x: (
-                jax.numpy.asarray(reset_step, dtype=x.dtype)
-                if _is_count_leaf(t, x)
-                else x
-            ),
-            _count_markers(opt_state),
-            opt_state,
-        )
+        opt_state = set_opt_step(opt_state, reset_step)
     state = TrainState(params=restored["params"], opt_state=opt_state)
     return {"epoch_idx": int(restored["epoch_idx"]), "state": state}
+
+
+def set_opt_step(opt_state: Any, step: int) -> Any:
+    """Set every optax ``count`` leaf to ``step`` — the schedule position is
+    a pure function of this count, so this IS the scheduler ``last_epoch``
+    surgery of the reference (train.py:332-334). Used on restore and for
+    params-only continuation (fresh moments, resumed schedule)."""
+    return jax.tree.map(
+        lambda t, x: (
+            jax.numpy.asarray(step, dtype=x.dtype) if _is_count_leaf(t, x) else x
+        ),
+        _count_markers(opt_state),
+        opt_state,
+    )
 
 
 def restore_with_new_optimizer(

@@ -156,6 +156,7 @@ def train(
     restore_state_path: Optional[str] = None,
     restore_epoch_idx: bool = True,
     reset_epoch_idx_to_value: Optional[int] = None,
+    init_params_path: Optional[str] = None,
     use_mesh: bool = False,
 ) -> Dict[str, float]:
     if reset_output_folder and os.path.isdir(output_folder):
@@ -300,6 +301,33 @@ def train(
         optimizer_config, steps_per_epoch=epoch_config.train_num_batches
     )
     state = TrainState(params=params, opt_state=tx.init(params))
+
+    if init_params_path:
+        # Params-only continuation: load weights from a compact ``.npz`` /
+        # orbax dir / torch state dict (the committed-artifact formats,
+        # inference/engine.py::load_params) into FRESH optimizer moments,
+        # and put the schedule at ``reset_epoch_idx_to_value`` by setting
+        # the optax step count — the reference's restore-time scheduler
+        # surgery (train.py:316-335) for the case where only exported
+        # weights survive. AdamW moments re-estimate within ~1k steps
+        # (beta2=0.999); expect a small dev-loss transient in the first
+        # resumed epoch.
+        if restore_state_path:
+            raise ValueError("init_params_path and restore_state_path are exclusive")
+        from ..inference.engine import load_params
+
+        loaded = load_params(init_params_path, model_config)
+        new_params = jax.tree.map(
+            lambda t, l: jnp.asarray(l, dtype=t.dtype), state.params, loaded
+        )
+        opt_state = state.opt_state
+        if reset_epoch_idx_to_value:
+            from .checkpoint import set_opt_step
+
+            opt_state = set_opt_step(
+                opt_state, reset_epoch_idx_to_value * epoch_config.train_num_batches
+            )
+        state = TrainState(params=new_params, opt_state=opt_state)
 
     rough_core, precise_core = _core_boxes_from_pipeline(train_dataset.pipeline)
     step_config = TrainStepConfig(

@@ -33,6 +33,16 @@ sys.path.insert(
 parser = argparse.ArgumentParser()
 parser.add_argument("--num-epochs", type=int, default=None)
 parser.add_argument("--restore", default=None)
+parser.add_argument(
+    "--init-params", default=None,
+    help="params-only continuation: start from exported weights (.npz / "
+    "orbax dir) with fresh optimizer moments; combine with --start-epoch "
+    "to resume the cosine schedule mid-arm (loop.py init_params_path)",
+)
+parser.add_argument(
+    "--start-epoch", type=int, default=None,
+    help="epoch index to resume the schedule at (reset_epoch_idx_to_value)",
+)
 parser.add_argument("--child", action="store_true", help="internal: run training directly")
 parser.add_argument("--max-restarts", type=int, default=20)
 parser.add_argument(
@@ -111,6 +121,12 @@ if not args.child:
         cmd = [sys.executable, os.path.abspath(__file__), "--child"]
         if restore:
             cmd += ["--restore", restore]
+        elif args.init_params:
+            # Params-only continuation; once the run saves its first
+            # checkpoint, restarts go through the normal restore path.
+            cmd += ["--init-params", args.init_params]
+            if args.start_epoch is not None:
+                cmd += ["--start-epoch", str(args.start_epoch)]
         print(f"supervisor: starting child (attempt {attempt}, restore={restore})",
               flush=True)
         rc, reason = supervise_one(cmd)
@@ -120,7 +136,7 @@ if not args.child:
         restore = latest_checkpoint()
         print(f"supervisor: child {reason}; latest checkpoint {restore}",
               flush=True)
-        if restore is None:
+        if restore is None and not args.init_params:
             sys.exit(rc)
     sys.exit(1)
 
@@ -139,5 +155,7 @@ metrics = train(
     epoch_config_json="epoch.json",
     model_config_json="model.json",
     restore_state_path=args.restore,
+    init_params_path=(None if args.restore else args.init_params),
+    reset_epoch_idx_to_value=(args.start_epoch if not args.restore else None),
 )
 print("final:", metrics, flush=True)

@@ -174,3 +174,34 @@ def test_pallas_backbone_matches_flax():
     for g, w in zip(got, want):
         assert g.shape == w.shape
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (25, 19), (7, 9)])
+def test_fused_block_halo_thin_matches_flax(hw):
+    """halo_thin fetches the vertical 7x7 halo as two HALO-row blocks
+    instead of full neighbor bands (input HBM reads 3x -> ~1.5x). Must be
+    bit-for-bit the same math: same taps, same f32 accumulation — only
+    the BlockSpec staging changes. Odd H exercises the tile-padding path;
+    7x9 forces single-tile pages where both halos clamp + zero."""
+    key = jax.random.PRNGKey(0)
+    layer, params = _block_params(key, 8)
+    h, w = hw
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, 8), jnp.float32)
+    want = layer.apply({"params": params}, x, True)
+    got = fused_convnext_block(
+        x,
+        params["dwconv"]["kernel"],
+        params["dwconv"]["bias"],
+        params["ln"]["scale"],
+        params["ln"]["bias"],
+        params["mlp_up"]["kernel"],
+        params["mlp_up"]["bias"],
+        params["mlp_down"]["kernel"],
+        params["mlp_down"]["bias"],
+        params["block_scale"],
+        tile_h=12,
+        interpret=True,
+        dw_tap_major=False,
+        halo_thin=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)

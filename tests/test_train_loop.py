@@ -210,3 +210,71 @@ def test_demo_writes_visualizations(tmp_path):
         "remapped_char_polygons_border.jpg",
     ]:
         assert (out / name).exists(), name
+
+
+def test_train_loop_params_only_continuation(tmp_path):
+    """Params-only continuation (``init_params_path``): resume the schedule
+    at a later epoch from exported ``.npz`` weights with FRESH optimizer
+    moments — the reference's restore-time scheduler surgery
+    (train.py:316-335) applied to the committed-artifact case where only
+    the exported weights survive (REPRODUCE.md Path A)."""
+    from adascale.tools.export_params import flatten_params
+    from adascale.training.checkpoint import restore_pytree_numpy
+
+    dataset_json, epoch_json, model_json = _write_configs(tmp_path)
+    out = tmp_path / "run"
+    train(
+        dataset_config_json=str(dataset_json),
+        output_folder=str(out),
+        epoch_config_json=str(epoch_json),
+        model_config_json=str(model_json),
+    )
+    ckpt = next(d for d in os.listdir(out) if d.startswith("state_0"))
+    params = restore_pytree_numpy(str(out / ckpt))["params"]
+    flat = flatten_params(params)
+    npz = tmp_path / "weights.f16.npz"
+    np.savez_compressed(
+        str(npz),
+        **{
+            k: (v.astype(np.float16) if v.dtype == np.float32 else v)
+            for k, v in flat.items()
+        },
+    )
+
+    # Continue: start the schedule at epoch 1 of a 2-epoch plan.
+    epoch2 = json.loads(epoch_json.read_text())
+    epoch2["num_epochs"] = 2
+    epoch2_json = tmp_path / "epoch2.json"
+    epoch2_json.write_text(json.dumps(epoch2))
+    out2 = tmp_path / "run2"
+    metrics = train(
+        dataset_config_json=str(dataset_json),
+        output_folder=str(out2),
+        epoch_config_json=str(epoch2_json),
+        model_config_json=str(model_json),
+        init_params_path=str(npz),
+        reset_epoch_idx_to_value=1,
+    )
+    assert np.isfinite(metrics["dev_loss"])
+    # Only epoch 1 ran (epoch 0 was skipped by the reset).
+    names = os.listdir(out2)
+    assert any(n.startswith("state_1") for n in names)
+    assert not any(n.startswith("state_0") for n in names)
+    # The optax step count resumed at epoch*batches, then advanced one
+    # epoch: 1*2 + 2 = 4 — proves the schedule-position surgery happened.
+    ckpt2 = next(n for n in names if n.startswith("state_1"))
+    restored = restore_pytree_numpy(str(out2 / ckpt2))
+
+    def find_counts(node):  # orbax restores tuples as lists, dicts as dicts
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "count" and np.ndim(v) == 0:
+                    yield int(v)
+                else:
+                    yield from find_counts(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                yield from find_counts(v)
+
+    counts = list(find_counts(restored["opt_state"]))
+    assert counts and all(c == 4 for c in counts), counts
