@@ -131,6 +131,9 @@ class AdaptiveScalingInferenceConfig:
     matmul_precision: str = "highest"  # 'highest' = fp32 parity; 'default' = fast bf16
     compute_dtype: str = "float32"  # 'bfloat16' for TPU serving
     use_pallas_backbone: bool = False  # fused ConvNeXt blocks (adascale.ops.pallas)
+    # Fused FPN neck-L0 + dual-head kernels for the rough pass (requires
+    # use_pallas_backbone; ops/pallas/fpn_neck.py + fpn_heads.py).
+    use_pallas_neck_heads: bool = False
     # Tiled whole-page rough mode (adascale/inference/tiled.py): process
     # large scans at full resolution instead of short-side-720 downsampling.
     # Enabled per-call via detect(tiled=True) or automatically when the
@@ -218,6 +221,10 @@ class AdaptiveScalingInference:
                 x.astype(jnp.dtype(self.config.compute_dtype)),
                 self._backbone_spec(),
             )
+            if which == "rough" and self.config.use_pallas_neck_heads:
+                from ..ops.pallas import forward_rough_from_features_fused
+
+                return forward_rough_from_features_fused(model, params, feats)
             method = (
                 model.forward_rough_from_features
                 if which == "rough"

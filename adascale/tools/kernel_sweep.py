@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--tile-hs", default="8,16")
+    ap.add_argument(
+        "--skip-stages", action="store_true",
+        help="skip the per-stage block sweep and only time the end-to-end "
+        "serving variants (fast validation of the neck/heads kernels)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -87,7 +92,7 @@ def main() -> None:
     ]
 
     # ---- per-stage fused block chains ----
-    for si, (c, n) in enumerate(stage_specs):
+    for si, (c, n) in enumerate(stage_specs if not args.skip_stages else []):
         r = (hw // 4) // (2**si)
         layer = ConvNeXtBlockLayer(channels=c)
         params = layer.init(key, jnp.zeros((1, 8, 8, c)))["params"]
@@ -131,24 +136,34 @@ def main() -> None:
     params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
     image = jax.random.uniform(key, (b, hw, hw, 3), jnp.float32, 0, 255)
 
-    full_variants = [
-        ("tap band th8", True, False, 8),
-        ("kx  band th8", False, False, 8),
-        ("kx  thin th12", False, True, 12),
-        ("kx  thin th24", False, True, 24),
-    ]
-    for vlabel, tap_major, thin, th in full_variants:
+    from adascale.ops.pallas import forward_rough_from_features_fused
 
-        def full_body(img, _tap=tap_major, _thin=thin, _th=th):
+    # (label, dw_tap_major, halo_thin, tile_h, neck_heads_mode) where
+    # neck_heads_mode: "flax" = Flax neck+heads, "heads" = fused dual-head
+    # kernel only, "full" = fused neck L0 + fused heads (ops/pallas/fpn_*).
+    full_variants = [
+        ("tap band th8", True, False, 8, "flax"),
+        ("kx  band th8", False, False, 8, "flax"),
+        ("tap band th8 +heads", True, False, 8, "heads"),
+        ("tap band th8 +neck+heads", True, False, 8, "full"),
+    ]
+    for vlabel, tap_major, thin, th, nh_mode in full_variants:
+
+        def full_body(img, _tap=tap_major, _thin=thin, _th=th, _nh=nh_mode):
             feats = convnext_forward_pallas(
                 params["backbone"], img.astype(dtype), stage_specs,
                 dw_tap_major=_tap, halo_thin=_thin, tile_h=_th,
             )
-            mask_logits, height = model.apply(
-                {"params": params},
-                tuple(feats),
-                method=model.forward_rough_from_features,
-            )
+            if _nh == "flax":
+                mask_logits, height = model.apply(
+                    {"params": params},
+                    tuple(feats),
+                    method=model.forward_rough_from_features,
+                )
+            else:
+                mask_logits, height = forward_rough_from_features_fused(
+                    model, params, feats, fuse_neck=(_nh == "full")
+                )
             return img + 1e-6 * jnp.tanh(
                 mask_logits.astype(jnp.float32).mean()
                 + height.astype(jnp.float32).mean()

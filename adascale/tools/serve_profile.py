@@ -166,6 +166,44 @@ def main() -> None:
     t_full = time_program("full_rough_forward", full_body, image)
     t_backbone = time_program("backbone_only", backbone_body, image)
 
+    # ---- neck / heads split ----
+    # Round-5 finding: full - backbone left ~180 ms unaccounted at B16@1280;
+    # these rows pin down where it goes. Carries are random tensors of the
+    # real feature shapes (content is irrelevant to timing).
+    key = jax.random.PRNGKey(7)
+    res4 = args.hw // 4
+    feats = tuple(
+        jax.random.normal(jax.random.fold_in(key, i), (args.batch, res4 // 2**i, res4 // 2**i, c), dtype)
+        for i, (c, _) in enumerate(stage_specs)
+    )
+    neck_out_ch = stage_specs[-2][0]
+    neck_carry = jax.random.normal(key, (args.batch, res4, res4, neck_out_ch), dtype)
+
+    def neck_body(fs):
+        out = model.apply(
+            {"params": params}, list(fs), method=lambda mdl, t: mdl.rough_neck(t)
+        )
+        m = out.astype(jnp.float32).mean()
+        fb = (m * 0.0)
+        return tuple(f + fb.astype(f.dtype) for f in fs), m
+
+    def heads_body(n):
+        mask = model.apply(
+            {"params": params}, n, method=lambda mdl, t: mdl.rough_char_mask_head(t)
+        )
+        height = model.apply(
+            {"params": params}, n, method=lambda mdl, t: mdl.rough_char_height_head(t)
+        )
+        m = mask.astype(jnp.float32).mean() + height.astype(jnp.float32).mean()
+        return n + (m * 0.0).astype(n.dtype), m
+
+    for label, body, carry in [
+        ("neck_only", neck_body, feats),
+        ("heads_only(x2)", heads_body, neck_carry),
+    ]:
+        dt, _ = tp._time_scan(body, carry, args.iters, label)
+        rows.append((label, dt, None, None))
+
     # ---- per-stage dwconv / MLP split ----
     # tiny: (96,3)@/4, (192,3)@/8, (384,9)@/16, (768,3)@/32 of the stem /4.
     import flax.linen as nn

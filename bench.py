@@ -148,15 +148,33 @@ def _build(size, neck, dtype):
     return model, params
 
 
+# Fused FPN neck-L0 + dual-head kernels for the rough pass (round 5,
+# ops/pallas/fpn_neck.py + fpn_heads.py). Flip to True only after the
+# variant wins on hardware (tools/kernel_sweep.py --skip-stages) —
+# interpret-clean kernels can still fail Mosaic compile, and bench.py
+# must never die at the round boundary. Only the FPN neck has the fused
+# path; UPerNeXt benches fall back automatically.
+FUSED_NECK_HEADS = False
+
+
 def _rough_forward(model, size, dtype, use_pallas):
     if use_pallas:
         from adascale.models.convnext import CONVNEXT_PRESETS
-        from adascale.ops.pallas import convnext_forward_pallas
+        from adascale.ops.pallas import (
+            convnext_forward_pallas,
+            forward_rough_from_features_fused,
+        )
 
         spec = CONVNEXT_PRESETS[size]
+        neck_type = getattr(
+            model.config.neck_head_type, "value", model.config.neck_head_type
+        )
+        fuse_nh = FUSED_NECK_HEADS and str(neck_type) == "fpn"
 
         def forward(p, x):
             feats = convnext_forward_pallas(p["backbone"], x.astype(dtype), spec)
+            if fuse_nh:
+                return forward_rough_from_features_fused(model, p, feats)
             return model.apply(
                 {"params": p}, tuple(feats), method=model.forward_rough_from_features
             )

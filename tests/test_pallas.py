@@ -205,3 +205,93 @@ def test_fused_block_halo_thin_matches_flax(hw):
         halo_thin=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (13, 19)])
+def test_fused_rough_heads_matches_flax(hw):
+    """The dual-head kernel (both FPN rough heads packed into one Pallas
+    pass — upsample-x2/conv3x3/LN/GELU/1x1 per head) must match the Flax
+    FpnHead applied twice. Odd shapes exercise the W lane padding and the
+    H tile padding paths."""
+    from adascale.models.fpn import FpnHead
+    from adascale.ops.pallas.fpn_heads import _head_leaves, fused_rough_heads
+
+    key = jax.random.PRNGKey(0)
+    c = 128  # kernel requires a lane-multiple input width (neck out is 384)
+    h, w = hw
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, h, w, c), jnp.float32)
+    head0 = FpnHead(out_channels=1, upsampling_factor=2)
+    head1 = FpnHead(out_channels=1, upsampling_factor=2, init_output_bias=8.0)
+    p0 = head0.init(key, x)["params"]
+    p1 = head1.init(jax.random.PRNGKey(2), x)["params"]
+    want0 = head0.apply({"params": p0}, x)
+    want1 = head1.apply({"params": p1}, x)
+    got0, got1 = fused_rough_heads(
+        x, *_head_leaves(p0), *_head_leaves(p1), tile_h=8, interpret=True
+    )
+    assert got0.shape == want0.shape == (2, 2 * h, 2 * w, 1)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("hw0", [(16, 16), (13, 19)])
+def test_fpn_neck_fused_l0_matches_flax(hw0):
+    """The fused level-0 neck chain (step1 lateral + top-down add + step2
+    3x3, one Pallas pass) composed with the XLA levels 1..3 must equal the
+    Flax FpnNeck exactly. Odd shapes exercise halo masking at the real
+    page border inside a padded tile."""
+    from adascale.models.fpn import FpnNeck
+    from adascale.ops.pallas.fpn_neck import fpn_neck_forward_fused
+
+    key = jax.random.PRNGKey(0)
+    chans = (8, 16, 32, 64)
+    h0, w0 = hw0
+    feats = [
+        jax.random.normal(
+            jax.random.fold_in(key, i),
+            (2, max(1, h0 // 2**i), max(1, w0 // 2**i), c),
+            jnp.float32,
+        )
+        for i, c in enumerate(chans)
+    ]
+    neck = FpnNeck(in_channels_group=chans, out_channels=32)
+    params = neck.init(jax.random.PRNGKey(1), feats)["params"]
+    want = neck.apply({"params": params}, feats)
+    got = fpn_neck_forward_fused(
+        params, feats, dtype=jnp.float32, tile_h=6, interpret=True
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_forward_rough_fused_composition_matches_model():
+    """Full fused serving composition (fused FPN neck L0 + fused dual
+    heads) vs AdaptiveScaling.forward_rough_from_features on a micro
+    model — the exact path the inference engine and bench run on TPU."""
+    from adascale.models import AdaptiveScaling, AdaptiveScalingConfig
+    from adascale.ops.pallas import forward_rough_from_features_fused
+
+    cfg = AdaptiveScalingConfig(
+        size="tiny",
+        neck_head_type="fpn",
+        custom_block_channels_and_num_layers=((8, 1), (16, 1), (32, 1), (64, 1)),
+    )
+    model = AdaptiveScaling(config=cfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    feats = [
+        jax.random.normal(jax.random.fold_in(key, i), (1, 16 // 2**i, 16 // 2**i, c))
+        for i, c in enumerate((8, 16, 32, 64))
+    ]
+    want_mask, want_height = model.apply(
+        {"params": params}, tuple(feats), method=model.forward_rough_from_features
+    )
+    got_mask, got_height = forward_rough_from_features_fused(
+        model, params, feats, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_mask), np.asarray(want_mask), atol=2e-5, rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_height), np.asarray(want_height), atol=2e-5, rtol=2e-5
+    )
