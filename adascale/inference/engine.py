@@ -221,10 +221,23 @@ class AdaptiveScalingInference:
                 x.astype(jnp.dtype(self.config.compute_dtype)),
                 self._backbone_spec(),
             )
-            if which == "rough" and self.config.use_pallas_neck_heads:
-                from ..ops.pallas import forward_rough_from_features_fused
+            nh_type = str(
+                getattr(
+                    self.config.model.neck_head_type,
+                    "value",
+                    self.config.model.neck_head_type,
+                )
+            )
+            # The fused neck/head kernels assume the FpnNeck/FpnHead param
+            # structure; UPerNeXt configs fall through to the Flax path.
+            if self.config.use_pallas_neck_heads and nh_type == "fpn":
+                if which == "rough":
+                    from ..ops.pallas import forward_rough_from_features_fused
 
-                return forward_rough_from_features_fused(model, params, feats)
+                    return forward_rough_from_features_fused(model, params, feats)
+                from ..ops.pallas import forward_precise_from_features_fused
+
+                return forward_precise_from_features_fused(model, params, feats)
             method = (
                 model.forward_rough_from_features
                 if which == "rough"

@@ -9,11 +9,13 @@ from .backbone import convnext_forward_pallas, convnext_forward_pallas_train
 from .convnext_block import block_xla, fused_convnext_block, make_trainable_block
 from .fpn_heads import forward_rough_from_features_fused, fused_rough_heads
 from .fpn_neck import fpn_neck_forward_fused, fused_neck_l0
+from .precise_heads import forward_precise_from_features_fused
 
 __all__ = [
     "block_xla",
     "convnext_forward_pallas",
     "convnext_forward_pallas_train",
+    "forward_precise_from_features_fused",
     "forward_rough_from_features_fused",
     "fpn_neck_forward_fused",
     "fused_convnext_block",

@@ -179,6 +179,34 @@ def main() -> None:
         except Exception as exc:
             print(f"{label:<28} FAILED: {type(exc).__name__}", flush=True)
 
+    # ---- precise pass: Flax vs fused quad-head kernel ----
+    from adascale.ops.pallas import forward_precise_from_features_fused
+
+    for vlabel, fused in [("flax", False), ("fused", True)]:
+
+        def precise_body(img, _fused=fused):
+            feats = convnext_forward_pallas(
+                params["backbone"], img.astype(dtype), stage_specs
+            )
+            if _fused:
+                outs = forward_precise_from_features_fused(model, params, feats)
+            else:
+                outs = model.apply(
+                    {"params": params},
+                    tuple(feats),
+                    method=model.forward_precise_from_features,
+                )
+            bump = sum(o.astype(jnp.float32).mean() for o in outs)
+            return img + 1e-6 * jnp.tanh(bump)
+
+        label = f"full precise fwd {vlabel}"
+        try:
+            dt, _ = tp._time_scan(chain(precise_body), image, args.iters, label)
+            results[label.strip()] = dt * 1e3
+            print(f"    -> {b / dt:.1f} pages/s", flush=True)
+        except Exception as exc:
+            print(f"{label:<28} FAILED: {type(exc).__name__}", flush=True)
+
     print(json.dumps({"kernel_sweep_ms": results}), flush=True)
 
 

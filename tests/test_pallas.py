@@ -295,3 +295,33 @@ def test_forward_rough_fused_composition_matches_model():
     np.testing.assert_allclose(
         np.asarray(got_height), np.asarray(want_height), atol=2e-5, rtol=2e-5
     )
+
+
+def test_forward_precise_fused_matches_model():
+    """Fused quad-head precise pass (prob/offset/angle/distance packed
+    into one Pallas kernel) vs AdaptiveScaling.forward_precise_from_features
+    on a micro model — exercises per-segment LayerNorm with four different
+    inner widths and multi-channel phase interleave."""
+    from adascale.models import AdaptiveScaling, AdaptiveScalingConfig
+    from adascale.ops.pallas.precise_heads import forward_precise_from_features_fused
+
+    cfg = AdaptiveScalingConfig(
+        size="tiny",
+        neck_head_type="fpn",
+        custom_block_channels_and_num_layers=((8, 1), (16, 1), (32, 1), (64, 1)),
+    )
+    model = AdaptiveScaling(config=cfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 64, 64, 3)))["params"]
+    feats = [
+        jax.random.normal(jax.random.fold_in(key, i), (1, 12 // 2**i or 1, 20 // 2**i or 1, c))
+        for i, c in enumerate((8, 16, 32, 64))
+    ]
+    want = model.apply(
+        {"params": params}, tuple(feats), method=model.forward_precise_from_features
+    )
+    got = forward_precise_from_features_fused(model, params, feats, interpret=True)
+    assert len(got) == len(want) == 4
+    for g, w_ in zip(got, want):
+        assert g.shape == w_.shape, (g.shape, w_.shape)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=2e-5, rtol=2e-5)
