@@ -77,6 +77,7 @@ def evaluate(
     direct: bool = True,
     shift: bool = False,
     fixtures_dir: Optional[str] = None,
+    pallas: bool = False,
 ) -> dict:
     import numpy as np
 
@@ -114,6 +115,8 @@ def evaluate(
             model=load_config(model_config_json, AdaptiveScalingConfig),
             compute_dtype=compute_dtype,
             matmul_precision="highest" if compute_dtype == "float32" else "default",
+            use_pallas_backbone=pallas,
+            use_pallas_neck_heads=pallas,
         )
     )
 
@@ -263,6 +266,12 @@ def main() -> None:
         "training ranges, plus real-font fixture pages if present",
     )
     parser.add_argument(
+        "--pallas",
+        action="store_true",
+        help="serve through the fused Pallas path (backbone + FPN neck/"
+        "heads kernels) — quality A/B for the TPU serving configuration",
+    )
+    parser.add_argument(
         "--fixtures",
         default=None,
         help="directory of .npz fixture pages (default under --shift: "
@@ -296,6 +305,7 @@ def main() -> None:
         direct=not args.no_direct,
         shift=args.shift,
         fixtures_dir=fixtures,
+        pallas=args.pallas,
     )
     print(json.dumps(result))
 
