@@ -19,9 +19,14 @@ upsample, 3x3 smoothing to ``inner=(384+1)//2=192`` channels, LN, GELU,
   * LayerNorm is computed per head over its 192-channel segment
     (masked segment mean/var, torch eps 1e-6 semantics), then exact-erf
     GELU, then each head's 1x1 projection as a lane reduction;
-  * the 4 phase maps are interleaved to (2H, 2W) in VMEM and written
-    once — the (B, 2H, 2W, 192) smoothed intermediate that XLA
-    materializes per head (4x 400 MB at B16@1280) never exists.
+  * the kernel writes the 4 phase maps as separate (B, H, W) outputs and
+    XLA interleaves them to (2H, 2W) outside — the (B, 2H, 2W, 192)
+    smoothed intermediate that XLA materializes per head (4x 400 MB at
+    B16@1280) never exists, while the 1-channel f32 interleave XLA pays
+    instead is ~26 MB/head. (The first cut interleaved in VMEM via
+    lane-dim reshapes; Mosaic's layout inference rejects that shape cast
+    — `vector<8x320x2> -> vector<8x1x640>` — on hardware, so the
+    interleave lives where the compiler is happy to do it.)
 
 The vertical 2x2 halo is one row, staged as thin 1-row neighbor blocks.
 Outputs are the two raw head maps (pre-softplus), f32, shaped
@@ -72,9 +77,7 @@ def _kernel(
     ln_b,  # (1, 2F) f32 packed LN biases
     w2,  # (2, 2F) f32 per-head projection vectors (zero outside own segment)
     b2,  # (1, 2F) f32; [0, 0] / [0, F] hold the two projection biases
-    out0_ref,  # (1, 2*TH, 2*Wp) f32 — mask head
-    out1_ref,  # (1, 2*TH, 2*Wp) f32 — height head
-    *,
+    *out_refs,  # 8 x (1, TH, Wp) f32 — [head0 phases 00,01,10,11, head1 ...]
     f_real: int,
 ):
     th, wp2, c = xc.shape[1], xc.shape[2], xc.shape[3]
@@ -94,9 +97,7 @@ def _kernel(
     seg1 = ((ch >= f_real) & (ch < 2 * f_real)).astype(jnp.float32)
     inv_f = 1.0 / f_real
 
-    rows = []  # per output-row-parity, the col-interleaved (TH, 2*Wp) maps
     for a in (0, 1):
-        cols = []
         for b in (0, 1):
             p = a * 2 + b
             acc = jnp.zeros((th * wp, twof), jnp.float32) + sbv
@@ -121,19 +122,8 @@ def _kernel(
             # Per-head 1x1 projection: lane reduction against w2 (+ bias).
             y0 = jnp.sum(g * w2[0:1, :], axis=-1) + b2[0, 0]
             y1 = jnp.sum(g * w2[1:2, :], axis=-1) + b2[0, f_real]
-            cols.append((y0.reshape(th, wp), y1.reshape(th, wp)))
-        # Column interleave: (i, 2j+b) <- phase (a, b)[i, j].
-        rows.append(
-            tuple(
-                jnp.stack([cols[0][h], cols[1][h]], axis=-1).reshape(th, 2 * wp)
-                for h in (0, 1)
-            )
-        )
-    # Row interleave: (2i+a, :) <- rows[a][i, :].
-    for h, ref in ((0, out0_ref), (1, out1_ref)):
-        ref[0] = jnp.stack([rows[0][h], rows[1][h]], axis=1).reshape(
-            2 * th, 2 * wp
-        )
+            out_refs[p][0] = y0.reshape(th, wp)
+            out_refs[4 + p][0] = y1.reshape(th, wp)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -201,13 +191,13 @@ def fused_rough_heads(
 
     nh = hp // tile_h
     wp2 = wp + 2
-    out_shape = jax.ShapeDtypeStruct((b, 2 * hp, 2 * wp), f32)
+    out_shape = jax.ShapeDtypeStruct((b, hp, wp), f32)
     out_spec = pl.BlockSpec(
-        (1, 2 * tile_h, 2 * wp), lambda bi, hi: (bi, hi, 0), memory_space=pltpu.VMEM
+        (1, tile_h, wp), lambda bi, hi: (bi, hi, 0), memory_space=pltpu.VMEM
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
-    out0, out1 = pl.pallas_call(
+    phases = pl.pallas_call(
         functools.partial(_kernel, f_real=f),
         grid=(b, nh),
         in_specs=[
@@ -228,13 +218,24 @@ def fused_rough_heads(
             ),
             full(), full(), full(), full(), full(), full(),
         ],
-        out_specs=(out_spec, out_spec),
-        out_shape=(out_shape, out_shape),
+        out_specs=(out_spec,) * 8,
+        out_shape=(out_shape,) * 8,
         interpret=interpret,
     )(
         xpad, xpad, xpad,
         wk.astype(cdt), sb, ln_g, ln_b, w2, b2,
     )
+
+    # XLA-side phase interleave: out[:, 2i+a, 2j+b] = y_ab[:, i, j]. These
+    # are 1-channel f32 maps (~26 MB/head at B16@1280) — cheap where the
+    # same reshape inside the kernel is an unsupported Mosaic shape cast.
+    def interleave(y00, y01, y10, y11):
+        r0 = jnp.stack([y00, y01], axis=-1).reshape(b, hp, 2 * wp)
+        r1 = jnp.stack([y10, y11], axis=-1).reshape(b, hp, 2 * wp)
+        return jnp.stack([r0, r1], axis=2).reshape(b, 2 * hp, 2 * wp)
+
+    out0 = interleave(*phases[:4])
+    out1 = interleave(*phases[4:])
     return (
         out0[:, : 2 * h, : 2 * w, None],
         out1[:, : 2 * h, : 2 * w, None],
